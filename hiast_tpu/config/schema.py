@@ -1,0 +1,181 @@
+"""Default config schema.
+
+Mirrors the reference yacs tree (reference: code/utils/default_config.py:1-182)
+key-for-key so the reference's YAML experiment configs stay loadable, and adds
+a TPU-native ``runtime`` section (mesh / precision / checkpointing) replacing
+the reference's GPU-process fields (``gpu_num``, ``port``, ``apex_opt``).
+"""
+from __future__ import annotations
+
+from hiast_tpu.config.node import ConfigNode
+
+
+def default_config() -> ConfigNode:
+    return ConfigNode(
+        {
+            "trainer": None,
+            "work_dir": "./",
+            # ==============================================================
+            # model and loss
+            # ==============================================================
+            "model": {
+                "type": None,
+                "is_freeze_bn": True,  # True after source-only training
+                "seg_model": {
+                    "type": "DeepLab_V2",
+                    "output_dim": 256,  # embedding head dim
+                    "pretrained": None,  # path to ImageNet R101 weights (.pth or .npz)
+                },
+                "predictor": {
+                    "seg_loss": {
+                        "type": "CE",
+                        "source_weight": 1.0,
+                        "target_pseudo_weight": 1.0,
+                    },
+                    # KLD-to-uniform smoothing on the confident (pseudo-labeled) region
+                    "kld_loss": {"weight": 0.1},
+                    # entropy sharpening: all region for adversarial, ignored region for self-training
+                    "ent_loss": {"weight": 3.0},
+                },
+                "discriminator": {
+                    "is_enabled": False,
+                    "is_entropy_input": False,  # AdvEnt-style entropy map input
+                    "lr": 1e-4,
+                    "D_loss": {"type": "MSE", "weight": 1.0, "adv_weight": 0.05},
+                },
+            },
+            # ==============================================================
+            # dataset
+            # ==============================================================
+            "dataset": {
+                "num_classes": 19,  # 19 for GTAV/SYNTHIA->Cityscapes, 9 for Cityscapes->Oxford
+                "num_workers": 2,
+                "source": {
+                    "type": None,  # 'GTAV', 'SYNTHIA', 'Cityscapes'
+                    "json_path": None,
+                    "image_dir": None,
+                    "aug_type": [],
+                },
+                "target": {
+                    "type": None,  # 'Cityscapes', 'Oxford'
+                    "json_path": None,
+                    "image_dir": None,
+                    "pseudo_dir": None,
+                    "aug_type": [],
+                },
+                "val": {
+                    "type": None,
+                    "json_path": None,
+                    "image_dir": None,
+                    "resize_size": None,  # [height, width]
+                },
+                # fixed train-time crop target [height, width]; the geometric
+                # aug resizes every random crop to this static shape so a
+                # single XLA compilation covers the whole run.
+                "crop_size": [512, 1024],
+            },
+            # ==============================================================
+            # pseudo-label generation
+            # ==============================================================
+            "pseudo_policy": {
+                "resume_from": None,
+                "batch_size": 2,
+                "resize_size": None,  # [height, width]
+                "save_dir": None,
+                "type": None,  # 'IAS', 'CBST', 'CT', 'NT'
+                "ias": {"alpha": 0.2, "beta": 0.9, "gamma": 8.0},
+                "cbst": {"p": 0.2, "sample_interval": 4},
+                "ct": {"threshold": 0.9},
+                # on-device quantile fidelity: number of histogram bins over
+                # [0, 1] for max-probability quantiles (4.9e-4 resolution at
+                # 2048 matches the reference's float16 prob storage).
+                "num_hist_bins": 2048,
+            },
+            # ==============================================================
+            # training
+            # ==============================================================
+            "train": {
+                "batch_size": 4,  # GLOBAL batch, sharded over the data mesh axis
+                "lr": 1e-4,  # backbone lr; heads use 10x (DeepLab_V2 convention)
+                "optimizer": "Adam",  # 'SGD', 'Adam', 'AdamW'
+                "weight_decay": 5e-4,
+                "resume_from": None,
+                "random_seed": 888,
+                "is_save_all": False,
+                "is_debug": False,
+                "total_iter": 10000,
+                "iter_report": 100,
+                "iter_val": 400,
+                "lr_scheduler": {
+                    "type": "Cosine",  # 'Cosine', 'Poly'
+                    "poly": {"power": 0.9},
+                },
+            },
+            # ==============================================================
+            # validation
+            # ==============================================================
+            "validate": {
+                "resume_from": None,
+                "resize_sizes": [],  # [[height, width], ...] multi-scale
+                "is_flip": False,
+                "batch_size": 2,
+                "color_mask_dir_path": None,
+            },
+            # ==============================================================
+            # consistency (EMA-teacher) training
+            # ==============================================================
+            "cst_training": {
+                "is_enabled": False,
+                "ema_model": {"iter_update": 1, "gamma": 0.999},
+                "cst_loss": {
+                    "type": "SoftCE",
+                    "weight": 1.0,
+                    "region": "ignored",  # 'confident', 'ignored', 'all'
+                },
+            },
+            # ==============================================================
+            # mutual training (vestigial in the reference; kept for parity)
+            # ==============================================================
+            "mut_training": {
+                "is_enabled": False,
+                "resume_from": None,
+                "is_strong_input": False,
+                "mut_loss": {"weight": 0.1, "region": "ignored"},
+            },
+            # ==============================================================
+            # preprocessors (hard-aware pseudo-label augmentation)
+            # ==============================================================
+            "preprocessor": {
+                "type": None,  # 'CopyPaste'
+                "copy_paste": {
+                    "mode": "original",
+                    "name": "normal",
+                    "selected_num_classes": 14,  # number of hard classes per image
+                    "gamma": 0.99,  # EMA factor for class mean probabilities
+                    "max_donors": 3,  # donor images pasted per sample
+                },
+            },
+            # ==============================================================
+            # TPU runtime (new; replaces gpu_num/port/apex_opt)
+            # ==============================================================
+            "runtime": {
+                "mesh": {
+                    "data": -1,  # -1 = all devices on the data axis
+                    "model": 1,
+                },
+                "precision": {
+                    "compute_dtype": "bfloat16",  # activations / matmuls
+                    "param_dtype": "float32",  # master params
+                },
+                "checkpoint": {
+                    "keep": 3,
+                    "async_save": True,
+                },
+                "profile": {
+                    "enabled": False,
+                    "start_iter": 50,
+                    "num_iters": 5,
+                },
+            },
+        }
+    )
