@@ -123,6 +123,12 @@ def _coerce(current: Any, value: Any, path: str) -> Any:
         raise TypeError(f"{path!r}: expected bool, got {value!r}")
     if isinstance(current, float) and isinstance(value, (int, float)):
         return float(value)
+    if isinstance(current, float) and isinstance(value, str):
+        # YAML 1.1 parses '3e-6' (no dot) as a string; accept numeric strings.
+        try:
+            return float(value)
+        except ValueError:
+            pass
     if isinstance(current, int) and isinstance(value, int):
         return value
     if isinstance(current, str) and isinstance(value, str):

@@ -5,7 +5,10 @@ This is the TPU answer to "test multi-device behavior without a cluster"
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Note: the surrounding environment may force JAX_PLATFORMS (e.g. a tunneled
+# TPU platform), and a plugin may append to it after import — so we both set
+# the env var AND update jax.config post-import.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,6 +17,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 import pytest  # noqa: E402
