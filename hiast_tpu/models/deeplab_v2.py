@@ -1,0 +1,105 @@
+"""DeepLab-v2 segmentation head on the OS8 ResNet backbone (Flax, NHWC).
+
+Re-design of the reference model (reference:
+code/sseg/models/modules/seg_models/deeplab_v2.py:8-69): ASPP-v2 = sum of
+four parallel 3x3 convs at dilations 6/12/18/24 over the 2048-d backbone
+feature, plus a 1x1 256-d ``representation`` head kept for checkpoint parity
+(the reference computes it but never returns it; we skip the compute unless
+asked).  Logit upsampling to input resolution lives in the segmentor step
+functions, not here, so eval and train steps control fusion.
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from hiast_tpu.models.resnet import ResNetOS8
+from hiast_tpu.registry import SEG_MODEL
+
+
+class ASPPV2(nn.Module):
+    """Sum of parallel dilated 3x3 convs (with bias)."""
+
+    num_classes: int
+    dilations: Sequence[int] = (6, 12, 18, 24)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        out = None
+        for i, d in enumerate(self.dilations):
+            y = nn.Conv(
+                self.num_classes,
+                (3, 3),
+                padding=((d, d), (d, d)),
+                kernel_dilation=(d, d),
+                use_bias=True,
+                dtype=self.dtype,
+                kernel_init=nn.initializers.normal(stddev=0.01),
+                name=f"conv2d_list_{i}",
+            )(x)
+            out = y if out is None else out + y
+        return out
+
+
+@SEG_MODEL.register("DeepLab_V2")
+class DeepLabV2(nn.Module):
+    num_classes: int = 19
+    output_dim: int = 256
+    backbone_layers: Sequence[int] = (3, 4, 23, 3)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        train: bool = False,
+        bn_axis_name: str | None = None,
+        return_representation: bool = False,
+    ):
+        feat = ResNetOS8(layers=self.backbone_layers, dtype=self.dtype, name="backbone")(
+            x, train=train, bn_axis_name=bn_axis_name
+        )
+        logits = ASPPV2(num_classes=self.num_classes, dtype=self.dtype, name="aspp")(feat)
+        out = {"logits": logits, "backbone": feat}
+        if return_representation:
+            out["representation"] = nn.Conv(
+                self.output_dim, (1, 1), dtype=self.dtype, name="representation"
+            )(feat)
+        return out
+
+
+class FCDiscriminator(nn.Module):
+    """Fully-convolutional domain discriminator.
+
+    Five stride-2 4x4 convs (ndf 64 -> 512 -> 1) with LeakyReLU(0.2)
+    (reference: code/sseg/models/modules/discriminator.py:7-29).
+    """
+
+    ndf: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        widths = [self.ndf, self.ndf * 2, self.ndf * 4, self.ndf * 8, 1]
+        for i, w in enumerate(widths):
+            name = "classifier" if i == len(widths) - 1 else f"conv{i + 1}"
+            x = nn.Conv(
+                w, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)),
+                dtype=self.dtype, name=name,
+            )(x)
+            if i < len(widths) - 1:
+                x = nn.leaky_relu(x, negative_slope=0.2)
+        return x
+
+
+def build_seg_model(cfg, dtype=jnp.float32):
+    """Instantiate the configured segmentation trunk (registry-dispatched)."""
+    model_cls = SEG_MODEL[cfg.model.seg_model.type]
+    return model_cls(
+        num_classes=cfg.dataset.num_classes,
+        output_dim=cfg.model.seg_model.output_dim,
+        dtype=dtype,
+    )

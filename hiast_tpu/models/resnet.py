@@ -1,0 +1,133 @@
+"""ResNet backbone (Flax, NHWC) with DeepLab output-stride-8 dilation.
+
+TPU-native re-design of the reference's torchvision-style ResNet-101
+(reference: code/sseg/models/modules/resnet.py:58-190) and the
+``_nostride_dilate`` surgery applied by DeepLab-v2 (reference:
+code/sseg/models/modules/seg_models/deeplab_v2.py:42-56):
+
+- layer3: the stride-2 3x3 conv of block 0 becomes stride 1 / dilation 1
+  (``dilate // 2``); every other 3x3 conv gets dilation 2; the block-0
+  downsample 1x1 loses its stride.
+- layer4: block-0 3x3 conv becomes stride 1 / dilation 2; the rest dilation 4.
+
+This yields output stride 8 with a 2048-channel feature map.
+
+Module/parameter names deliberately mirror the torch layout
+(``layer3.5.conv2`` -> ``layer3_5/conv2``) so published ``.pth`` checkpoints
+convert mechanically (see models/convert.py).
+
+BatchNorm: the released self-training configs freeze BN everywhere
+(reference: code/configs/sl_1.yaml:5, code/utils/utils.py:107-110), so the
+default path folds BN into an affine transform of the stored running stats —
+zero batch-stat traffic, fully fusable into the preceding conv by XLA.  When
+training BN (source-only warmup from scratch), pass ``train=True`` and
+``bn_axis_name='data'`` for cross-replica (Sync-BN) statistics via
+``lax.pmean`` — the TPU equivalent of apex ``convert_syncbn_model``
+(reference: code/utils/utils.py:103-105).
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+DEFAULT_BN_MOMENTUM = 0.9  # torch momentum 0.1 == flax momentum 0.9
+BN_EPS = 1e-5
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3 (stride/dilation) -> 1x1 with residual, expansion 4."""
+
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    has_downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, bn_axis_name: str | None = None):
+        def bn(name):
+            return nn.BatchNorm(
+                name=name,
+                use_running_average=not train,
+                momentum=DEFAULT_BN_MOMENTUM,
+                epsilon=BN_EPS,
+                dtype=self.dtype,
+                axis_name=bn_axis_name if train else None,
+            )
+
+        out_ch = self.planes * 4
+        identity = x
+        y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = bn("bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(
+            self.planes,
+            (3, 3),
+            strides=(self.stride, self.stride),
+            padding=((self.dilation, self.dilation), (self.dilation, self.dilation)),
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv2",
+        )(y)
+        y = bn("bn2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
+        y = bn("bn3")(y)
+        if self.has_downsample:
+            identity = nn.Conv(
+                out_ch,
+                (1, 1),
+                strides=(self.stride, self.stride),
+                use_bias=False,
+                dtype=self.dtype,
+                name="downsample_conv",
+            )(x)
+            identity = bn("downsample_bn")(identity)
+        return nn.relu(y + identity)
+
+
+class ResNetOS8(nn.Module):
+    """Dilated ResNet, output stride 8 (DeepLab-v2 backbone)."""
+
+    layers: Sequence[int] = (3, 4, 23, 3)  # ResNet-101
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, bn_axis_name: str | None = None):
+        x = nn.Conv(
+            64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+            use_bias=False, dtype=self.dtype, name="conv1",
+        )(x)
+        x = nn.BatchNorm(
+            name="bn1",
+            use_running_average=not train,
+            momentum=DEFAULT_BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=self.dtype,
+            axis_name=bn_axis_name if train else None,
+        )(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        # (planes, first-block stride, first-block dilation, rest dilation)
+        stage_spec = [
+            (64, 1, 1, 1),
+            (128, 2, 1, 1),
+            (256, 1, 1, 2),  # layer3: _nostride_dilate(2)
+            (512, 1, 2, 4),  # layer4: _nostride_dilate(4)
+        ]
+        for stage_idx, (planes, stride, dil0, dil) in enumerate(stage_spec):
+            for block_idx in range(self.layers[stage_idx]):
+                first = block_idx == 0
+                x = Bottleneck(
+                    planes=planes,
+                    stride=stride if first else 1,
+                    dilation=dil0 if first else dil,
+                    has_downsample=first,
+                    dtype=self.dtype,
+                    name=f"layer{stage_idx + 1}_{block_idx}",
+                )(x, train=train, bn_axis_name=bn_axis_name)
+        return x  # [B, H/8, W/8, 2048]
