@@ -95,11 +95,17 @@ class FCDiscriminator(nn.Module):
         return x
 
 
-def build_seg_model(cfg, dtype=jnp.float32):
-    """Instantiate the configured segmentation trunk (registry-dispatched)."""
+def build_seg_model(cfg, dtype=jnp.float32, backbone_layers=None):
+    """Instantiate the configured segmentation trunk (registry-dispatched).
+
+    ``backbone_layers`` overrides the block depths (tests use tiny trunks).
+    """
     model_cls = SEG_MODEL[cfg.model.seg_model.type]
-    return model_cls(
+    kwargs = dict(
         num_classes=cfg.dataset.num_classes,
         output_dim=cfg.model.seg_model.output_dim,
         dtype=dtype,
     )
+    if backbone_layers is not None:
+        kwargs["backbone_layers"] = tuple(backbone_layers)
+    return model_cls(**kwargs)

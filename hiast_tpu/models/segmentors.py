@@ -1,0 +1,160 @@
+"""Segmentors: model forward + loss assembly as pure traced functions.
+
+Each segmentor couples the segmentation trunk with its training objective,
+mirroring the reference's three segmentor modules (reference:
+code/sseg/models/segmentors/*.py) — but as stateless assemblies of pure
+functions over ``(variables, batch)``, designed to live entirely inside one
+jit'd step.  The bilinear logit upsampling to input resolution
+(align_corners=True, reference self_training_segmentor.py:27) runs as MXU
+matmuls (ops/resize.py) in float32.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from hiast_tpu.models.deeplab_v2 import FCDiscriminator, build_seg_model
+from hiast_tpu.ops import losses as L
+from hiast_tpu.ops.resize import bilinear_resize
+from hiast_tpu.registry import LOSS, MODEL
+
+
+class BaseSegmentor:
+    """Holds the Flax trunk + cfg; methods are pure and trace-safe."""
+
+    def __init__(self, cfg, dtype: Any = jnp.bfloat16, backbone_layers=None):
+        self.cfg = cfg
+        self.dtype = dtype
+        self.module = build_seg_model(cfg, dtype=dtype, backbone_layers=backbone_layers)
+
+    # -- init / forward ------------------------------------------------------
+    def init_variables(self, rng, input_shape=(1, 65, 65, 3)):
+        return self.module.init(
+            rng, jnp.zeros(input_shape, self.dtype), train=False, return_representation=True
+        )
+
+    def forward(self, variables, img, train: bool = False, mutable=False):
+        """Returns {'logits' (full-res fp32), 'backbone'} (+ new model state)."""
+        out = self.module.apply(
+            variables, img.astype(self.dtype), train=train, mutable=mutable
+        )
+        if mutable:
+            out, new_state = out
+        logits = bilinear_resize(
+            out["logits"].astype(jnp.float32), img.shape[1], img.shape[2]
+        )
+        result = {"logits": logits, "backbone": out["backbone"]}
+        return (result, new_state) if mutable else result
+
+
+@MODEL.register("SourceOnlySegmentor")
+class SourceOnlySegmentor(BaseSegmentor):
+    """Supervised training on source only (reference source_only_segmentor.py)."""
+
+    def compute_loss(self, logits, lbl):
+        seg_loss_fn = LOSS[self.cfg.model.predictor.seg_loss.type]
+        return {
+            "seg_loss": self.cfg.model.predictor.seg_loss.source_weight
+            * seg_loss_fn(logits, lbl)
+        }
+
+
+@MODEL.register("SelfTrainingSegmentor")
+class SelfTrainingSegmentor(BaseSegmentor):
+    """HIAST loss assembly (reference self_training_segmentor.py:30-53):
+    pseudo-label CE + KLD-to-uniform on the confident region + entropy
+    sharpening on the ignored region + optional SoftCE consistency."""
+
+    def compute_loss(self, t_logits, t_plbl, t_cst_lbl=None, s_logits=None, s_lbl=None):
+        cfg = self.cfg
+        seg_loss_fn = LOSS[cfg.model.predictor.seg_loss.type]
+        losses = {}
+        if s_lbl is not None:
+            losses["source_seg_loss"] = seg_loss_fn(s_logits, s_lbl)
+
+        losses["target_seg_loss"] = (
+            cfg.model.predictor.seg_loss.target_pseudo_weight * seg_loss_fn(t_logits, t_plbl)
+        )
+
+        confident, ignored = L.build_region_weight(t_plbl)
+        if cfg.model.predictor.kld_loss.weight > 0:
+            losses["kld_confident_loss"] = cfg.model.predictor.kld_loss.weight * L.kld_to_uniform(
+                t_logits, confident
+            )
+        if cfg.model.predictor.ent_loss.weight > 0:
+            losses["ent_ignored_loss"] = cfg.model.predictor.ent_loss.weight * L.entropy_sharpen(
+                t_logits, ignored
+            )
+        if t_cst_lbl is not None and cfg.cst_training.is_enabled and cfg.cst_training.cst_loss.weight > 0:
+            cst_loss_fn = LOSS[cfg.cst_training.cst_loss.type]
+            losses["cst_loss"] = cfg.cst_training.cst_loss.weight * cst_loss_fn(
+                t_logits,
+                t_cst_lbl,
+                refer_labels=t_plbl,
+                region=cfg.cst_training.cst_loss.region,
+            )
+        return losses
+
+
+@MODEL.register("AdversarialWarmupSegmentor")
+class AdversarialWarmupSegmentor(BaseSegmentor):
+    """AdaptSegNet/AdvEnt-style adversarial warmup
+    (reference adversarial_warmup_segmentor.py:12-86)."""
+
+    def __init__(self, cfg, dtype: Any = jnp.bfloat16, backbone_layers=None):
+        super().__init__(cfg, dtype, backbone_layers=backbone_layers)
+        assert cfg.model.discriminator.is_enabled
+        self.discriminator = FCDiscriminator(dtype=dtype)
+
+    def init_d_variables(self, rng, input_shape=(1, 64, 64, None)):
+        c = self.cfg.dataset.num_classes
+        shape = tuple(s if s is not None else c for s in input_shape)
+        return self.discriminator.init(rng, jnp.zeros(shape, self.dtype))
+
+    def d_input(self, logits):
+        """softmax (AdaptSegNet) or entropy map (AdvEnt) discriminator input."""
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        if self.cfg.model.discriminator.is_entropy_input:
+            return L.prob_to_entropy(probs)
+        return probs
+
+    def d_forward(self, d_params, logits):
+        return self.discriminator.apply(d_params, self.d_input(logits).astype(self.dtype)).astype(
+            jnp.float32
+        )
+
+    def compute_g_loss(self, s_logits, t_logits, s_lbl, d_params):
+        """Generator-side losses (D params held fixed)."""
+        cfg = self.cfg
+        seg_loss_fn = LOSS[cfg.model.predictor.seg_loss.type]
+        d_loss_fn = LOSS[cfg.model.discriminator.D_loss.type]
+        losses = {
+            "source_seg_loss": cfg.model.predictor.seg_loss.source_weight
+            * seg_loss_fn(s_logits, s_lbl)
+        }
+        t_d_logits = self.d_forward(d_params, t_logits)
+        is_source = jnp.zeros_like(t_d_logits)
+        losses["adv_loss"] = cfg.model.discriminator.D_loss.adv_weight * d_loss_fn(
+            t_d_logits, is_source
+        )
+        if cfg.model.predictor.ent_loss.weight > 0:  # MinEnt
+            probs = jax.nn.softmax(t_logits.astype(jnp.float32), axis=-1)
+            losses["target_ent_loss"] = cfg.model.predictor.ent_loss.weight * L.mean_entropy(probs)
+        return losses
+
+    def compute_d_loss(self, s_logits, t_logits, d_params):
+        """Discriminator loss on detached segmentation logits."""
+        cfg = self.cfg
+        d_loss_fn = LOSS[cfg.model.discriminator.D_loss.type]
+        s_d = self.d_forward(d_params, jax.lax.stop_gradient(s_logits))
+        t_d = self.d_forward(d_params, jax.lax.stop_gradient(t_logits))
+        d_loss = (
+            d_loss_fn(s_d, jnp.zeros_like(s_d)) + d_loss_fn(t_d, jnp.ones_like(t_d))
+        ) / 2
+        return {"D_loss": cfg.model.discriminator.D_loss.weight * d_loss}
+
+
+def build_segmentor(cfg, dtype: Any = jnp.bfloat16, backbone_layers=None) -> BaseSegmentor:
+    return MODEL[cfg.model.type](cfg, dtype=dtype, backbone_layers=backbone_layers)

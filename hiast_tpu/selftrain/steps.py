@@ -1,0 +1,206 @@
+"""jit-compiled train steps.
+
+One fused XLA program per trainer type holds: on-device strong-view color
+augmentation, ImageNet normalization, teacher (EMA) forward, student
+forward/backward, every loss term, the optimizer update, and the EMA update —
+replacing the reference's Python-side loop body (loss dict -> apex scale_loss
+-> backward -> step -> update_ema_model, reference:
+code/workflows/trainer/base_trainer.py:127-141,
+code/workflows/trainer/consistency_self_training_trainer.py:62-124,
+code/utils/utils.py:115-123).  Under a sharded-batch mesh the gradient
+all-reduce and cross-replica BatchNorm statistics are emitted by XLA
+automatically over ICI.
+
+Batches arrive as uint8 images ([B, H, W, 3], RGB, 0..255) — normalization
+happens on device, quartering host->device transfer bytes.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from hiast_tpu.ops.color_aug import batched_color_aug
+from hiast_tpu.selftrain.train_state import TrainState, ema_update
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def normalize_image(img_uint8: jnp.ndarray) -> jnp.ndarray:
+    """uint8/float [0,255] RGB -> ImageNet-normalized float32 (reference
+    code/sseg/datasets/utils.py:37-55)."""
+    x = img_uint8.astype(jnp.float32) / 255.0
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    return (x - mean) / std
+
+
+def _total_loss(losses: dict) -> jnp.ndarray:
+    """Sum of all non-discriminator losses (reference base_trainer.py:128)."""
+    return sum(v for k, v in losses.items() if "D_" not in k)
+
+
+def _apply_updates(state: TrainState, tx, grads, losses, new_batch_stats) -> TrainState:
+    updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+    new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+    return state.replace(
+        step=state.step + 1,
+        params=new_params,
+        batch_stats=new_batch_stats,
+        opt_state=new_opt_state,
+    )
+
+
+# ---------------------------------------------------------------------------
+# source-only (reference source_only_trainer.py)
+# ---------------------------------------------------------------------------
+def make_source_only_step(segmentor, tx) -> Callable:
+    def step(state: TrainState, batch, rng):
+        img = normalize_image(batch["s_img"])
+
+        def loss_fn(params):
+            out, new_model = segmentor.forward(
+                {"params": params, "batch_stats": state.batch_stats},
+                img, train=True, mutable=["batch_stats"],
+            )
+            losses = segmentor.compute_loss(out["logits"], batch["s_lbl"])
+            return _total_loss(losses), (losses, new_model["batch_stats"])
+
+        grads, (losses, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)
+        return _apply_updates(state, tx, grads, losses, new_bs), losses
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# plain self-training (reference self_training_trainer.py)
+# ---------------------------------------------------------------------------
+def make_self_training_step(segmentor, tx) -> Callable:
+    def step(state: TrainState, batch, rng):
+        img = normalize_image(batch["t_img"])
+
+        def loss_fn(params):
+            out, new_model = segmentor.forward(
+                {"params": params, "batch_stats": state.batch_stats},
+                img, train=True, mutable=["batch_stats"],
+            )
+            losses = segmentor.compute_loss(out["logits"], batch["t_plbl"])
+            return _total_loss(losses), (losses, new_model["batch_stats"])
+
+        grads, (losses, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)
+        return _apply_updates(state, tx, grads, losses, new_bs), losses
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# HIAST consistency self-training (reference consistency_self_training_trainer.py)
+# ---------------------------------------------------------------------------
+def make_consistency_step(segmentor, tx, strong_aug: str | None = "CCA") -> Callable:
+    """Weak view in, strong view made ON DEVICE, EMA teacher target, student
+    update, EMA update — one program."""
+    cfg = segmentor.cfg
+    ema_gamma = cfg.cst_training.ema_model.gamma
+    hard_teacher = cfg.cst_training.cst_loss.type == "CE"
+
+    def step(state: TrainState, batch, rng):
+        weak_raw = batch["t_img"].astype(jnp.float32)
+        if strong_aug is not None:
+            strong_raw = batched_color_aug(weak_raw, rng, kind=strong_aug)
+        else:
+            strong_raw = batch.get("t_img_strong", weak_raw).astype(jnp.float32)
+        weak = normalize_image(weak_raw)
+        strong = normalize_image(strong_raw)
+        plbl = batch["t_plbl"]
+
+        # EMA teacher forward (eval mode, running stats; reference :113-119)
+        t_weak_logits = segmentor.forward(
+            {"params": state.ema_params, "batch_stats": state.batch_stats},
+            weak, train=False,
+        )["logits"]
+        if hard_teacher:
+            cst_lbl = jnp.argmax(t_weak_logits, axis=-1)
+        else:
+            cst_lbl = jax.nn.softmax(t_weak_logits, axis=-1)
+        cst_lbl = jax.lax.stop_gradient(cst_lbl)
+
+        def loss_fn(params):
+            out, new_model = segmentor.forward(
+                {"params": params, "batch_stats": state.batch_stats},
+                strong, train=True, mutable=["batch_stats"],
+            )
+            losses = segmentor.compute_loss(out["logits"], plbl, t_cst_lbl=cst_lbl)
+            return _total_loss(losses), (losses, new_model["batch_stats"])
+
+        grads, (losses, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)
+        new_state = _apply_updates(state, tx, grads, losses, new_bs)
+        # EMA of params; buffers (batch_stats) track the student wholesale
+        # (reference utils.py:115-123 copies buffers each update)
+        new_state = new_state.replace(
+            ema_params=ema_update(state.ema_params, new_state.params, ema_gamma)
+        )
+        return new_state, losses
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# adversarial warmup (reference adversarial_warmup_trainer.py)
+# ---------------------------------------------------------------------------
+def make_adversarial_step(segmentor, tx, d_tx) -> Callable:
+    def step(state: TrainState, batch, rng):
+        s_img = normalize_image(batch["s_img"])
+        t_img = normalize_image(batch["t_img"])
+        s_lbl = batch["s_lbl"]
+
+        def g_loss_fn(params):
+            s_out, new_model = segmentor.forward(
+                {"params": params, "batch_stats": state.batch_stats},
+                s_img, train=True, mutable=["batch_stats"],
+            )
+            t_out, new_model2 = segmentor.forward(
+                {"params": params, "batch_stats": new_model["batch_stats"]},
+                t_img, train=True, mutable=["batch_stats"],
+            )
+            losses = segmentor.compute_g_loss(
+                s_out["logits"], t_out["logits"], s_lbl, state.d_params
+            )
+            aux = (losses, new_model2["batch_stats"], s_out["logits"], t_out["logits"])
+            return _total_loss(losses), aux
+
+        grads, (losses, new_bs, s_logits, t_logits) = jax.grad(g_loss_fn, has_aux=True)(
+            state.params
+        )
+
+        def d_loss_fn(d_params):
+            d_losses = segmentor.compute_d_loss(s_logits, t_logits, d_params)
+            return d_losses["D_loss"], d_losses
+
+        d_grads, d_losses = jax.grad(d_loss_fn, has_aux=True)(state.d_params)
+
+        new_state = _apply_updates(state, tx, grads, losses, new_bs)
+        d_updates, new_d_opt = d_tx.update(d_grads, state.d_opt_state, state.d_params)
+        new_d_params = jax.tree.map(lambda p, u: p + u, state.d_params, d_updates)
+        new_state = new_state.replace(d_params=new_d_params, d_opt_state=new_d_opt)
+        losses = {**losses, **d_losses}
+        return new_state, losses
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# shared eval forward
+# ---------------------------------------------------------------------------
+def make_eval_forward(segmentor) -> Callable:
+    """Normalized eval forward returning full-res fp32 logits."""
+
+    def fwd(params, batch_stats, img_uint8):
+        img = normalize_image(img_uint8)
+        return segmentor.forward(
+            {"params": params, "batch_stats": batch_stats}, img, train=False
+        )["logits"]
+
+    return fwd

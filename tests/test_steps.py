@@ -1,0 +1,243 @@
+"""Train-step tests on the 8-device virtual CPU mesh: full sharded train
+steps (self-training, consistency+EMA, source-only, adversarial) execute,
+losses are finite and decrease, frozen-BN params stay pinned."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from hiast_tpu.config import default_config
+from hiast_tpu.models.segmentors import build_segmentor
+from hiast_tpu.parallel.mesh import batch_sharding, make_mesh, replicate, shard_batch
+from hiast_tpu.registry import populate
+from hiast_tpu.selftrain.steps import (
+    make_adversarial_step,
+    make_consistency_step,
+    make_self_training_step,
+    make_source_only_step,
+)
+from hiast_tpu.selftrain.train_state import TrainState, make_d_optimizer, make_optimizer
+
+populate()
+
+TINY = (1, 1, 1, 1)
+H, W = 32, 64
+RNG = np.random.default_rng(7)
+
+
+def tiny_cfg(**overrides):
+    cfg = default_config()
+    cfg.model.type = "SelfTrainingSegmentor"
+    cfg.train.batch_size = 8
+    cfg.train.lr = 1e-4
+    cfg.train.total_iter = 10
+    cfg.dataset.num_classes = 19
+    for k, v in overrides.items():
+        node = cfg
+        *parents, leaf = k.split(".")
+        for p in parents:
+            node = getattr(node, p)
+        setattr(node, leaf, v)
+    return cfg
+
+
+def make_batch(keys=("t_img", "t_plbl")):
+    batch = {}
+    for k in keys:
+        if "img" in k:
+            batch[k] = RNG.integers(0, 255, size=(8, H, W, 3)).astype(np.uint8)
+        else:
+            lbl = RNG.integers(0, 19, size=(8, H, W)).astype(np.int32)
+            mask = RNG.random(size=(8, H, W)) < 0.4
+            batch[k] = np.where(mask, 255, lbl).astype(np.int32)
+    return batch
+
+
+def init_state(cfg, segmentor, with_ema=False, with_d=False):
+    variables = segmentor.init_variables(jax.random.PRNGKey(0), (1, H, W, 3))
+    tx = make_optimizer(cfg, variables["params"])
+    state_kwargs = dict(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+    )
+    if with_ema:
+        state_kwargs["ema_params"] = jax.tree.map(jnp.copy, variables["params"])
+    d_tx = None
+    if with_d:
+        d_vars = segmentor.init_d_variables(jax.random.PRNGKey(1), (1, H, W, None))
+        d_tx = make_d_optimizer(cfg)
+        state_kwargs["d_params"] = d_vars
+        state_kwargs["d_opt_state"] = d_tx.init(d_vars)
+    return TrainState(**state_kwargs), tx, d_tx
+
+
+class TestSelfTrainingStep:
+    def test_sharded_step_runs_and_learns(self, eight_devices):
+        cfg = tiny_cfg()
+        mesh = make_mesh(cfg)
+        segmentor = build_segmentor(cfg, dtype=jnp.float32, backbone_layers=TINY)
+        state, tx, _ = init_state(cfg, segmentor)
+        step = jax.jit(make_self_training_step(segmentor, tx), donate_argnums=0)
+
+        batch = shard_batch(mesh, make_batch())
+        state = replicate(mesh, state)
+        losses_hist = []
+        rng = jax.random.PRNGKey(0)
+        for i in range(6):
+            state, losses = step(state, batch, rng)
+            losses_hist.append({k: float(v) for k, v in losses.items()})
+        for l in losses_hist:
+            for k, v in l.items():
+                assert np.isfinite(v), (k, v)
+        assert {"target_seg_loss", "kld_confident_loss", "ent_ignored_loss"} <= set(
+            losses_hist[0]
+        )
+        # same batch repeated: CE drops from its post-first-update peak
+        # (step 0 is the random-init value; Adam spikes once then descends)
+        peak = max(l["target_seg_loss"] for l in losses_hist[1:3])
+        assert losses_hist[-1]["target_seg_loss"] < peak
+
+    def test_frozen_bn_params_do_not_move(self, eight_devices):
+        cfg = tiny_cfg()
+        segmentor = build_segmentor(cfg, dtype=jnp.float32, backbone_layers=TINY)
+        state, tx, _ = init_state(cfg, segmentor)
+        step = jax.jit(make_self_training_step(segmentor, tx))
+        bn_before = np.asarray(state.params["backbone"]["bn1"]["scale"])
+        conv_before = np.asarray(state.params["backbone"]["conv1"]["kernel"])
+        new_state, _ = step(state, make_batch(), jax.random.PRNGKey(0))
+        np.testing.assert_array_equal(
+            np.asarray(new_state.params["backbone"]["bn1"]["scale"]), bn_before
+        )
+        assert np.abs(np.asarray(new_state.params["backbone"]["conv1"]["kernel"]) - conv_before).max() > 0
+        # batch stats DO update (train-mode BN, reference semantics)
+        assert (
+            np.abs(
+                np.asarray(new_state.batch_stats["backbone"]["bn1"]["mean"])
+                - np.asarray(state.batch_stats["backbone"]["bn1"]["mean"])
+            ).max()
+            > 0
+        )
+
+    def test_head_lr_is_10x(self):
+        cfg = tiny_cfg()
+        from hiast_tpu.selftrain.train_state import _param_labels
+
+        segmentor = build_segmentor(cfg, dtype=jnp.float32, backbone_layers=TINY)
+        variables = segmentor.init_variables(jax.random.PRNGKey(0), (1, H, W, 3))
+        labels = _param_labels(variables["params"], freeze_bn=True)
+        assert labels["aspp"]["conv2d_list_0"]["kernel"] == "head"
+        assert labels["backbone"]["conv1"]["kernel"] == "backbone"
+        assert labels["backbone"]["bn1"]["scale"] == "frozen"
+        assert labels["backbone"]["layer1_0"]["downsample_bn"]["scale"] == "frozen"
+        assert labels["representation"]["kernel"] == "head"
+
+
+class TestConsistencyStep:
+    def test_ema_and_consistency(self, eight_devices):
+        cfg = tiny_cfg(**{
+            "cst_training.is_enabled": True,
+            "cst_training.cst_loss.weight": 0.5,
+            "cst_training.cst_loss.region": "ignored",
+        })
+        mesh = make_mesh(cfg)
+        segmentor = build_segmentor(cfg, dtype=jnp.float32, backbone_layers=TINY)
+        state, tx, _ = init_state(cfg, segmentor, with_ema=True)
+        step = jax.jit(make_consistency_step(segmentor, tx, strong_aug="CCA"))
+        state = replicate(mesh, state)
+        batch = shard_batch(mesh, make_batch())
+        new_state, losses = step(state, batch, jax.random.PRNGKey(3))
+        assert "cst_loss" in losses and np.isfinite(float(losses["cst_loss"]))
+        # EMA moved toward (but is not equal to) the new student params
+        ema = np.asarray(new_state.ema_params["backbone"]["conv1"]["kernel"])
+        stu = np.asarray(new_state.params["backbone"]["conv1"]["kernel"])
+        old = np.asarray(state.params["backbone"]["conv1"]["kernel"])
+        assert np.abs(ema - old).max() > 0
+        assert np.abs(ema - old).max() < np.abs(stu - old).max()
+
+    def test_hard_teacher_when_ce(self):
+        cfg = tiny_cfg(**{
+            "cst_training.is_enabled": True,
+            "cst_training.cst_loss.type": "CE",
+            "cst_training.cst_loss.weight": 0.5,
+        })
+        segmentor = build_segmentor(cfg, dtype=jnp.float32, backbone_layers=TINY)
+        state, tx, _ = init_state(cfg, segmentor, with_ema=True)
+        step = jax.jit(make_consistency_step(segmentor, tx, strong_aug=None))
+        _, losses = step(state, make_batch(), jax.random.PRNGKey(0))
+        assert np.isfinite(float(losses["cst_loss"]))
+
+
+class TestSourceOnlyStep:
+    def test_runs(self):
+        cfg = tiny_cfg(**{"model.type": "SourceOnlySegmentor"})
+        segmentor = build_segmentor(cfg, dtype=jnp.float32, backbone_layers=TINY)
+        state, tx, _ = init_state(cfg, segmentor)
+        step = jax.jit(make_source_only_step(segmentor, tx))
+        _, losses = step(state, make_batch(("s_img", "s_lbl")), jax.random.PRNGKey(0))
+        assert np.isfinite(float(losses["seg_loss"]))
+
+
+class TestAdversarialStep:
+    def test_g_and_d_update(self):
+        cfg = tiny_cfg(**{
+            "model.type": "AdversarialWarmupSegmentor",
+            "model.discriminator.is_enabled": True,
+            "model.predictor.ent_loss.weight": 1.0,
+        })
+        segmentor = build_segmentor(cfg, dtype=jnp.float32, backbone_layers=TINY)
+        state, tx, d_tx = init_state(cfg, segmentor, with_d=True)
+        step = jax.jit(make_adversarial_step(segmentor, tx, d_tx))
+        batch = make_batch(("s_img", "s_lbl", "t_img"))
+        new_state, losses = step(state, batch, jax.random.PRNGKey(0))
+        for key in ("source_seg_loss", "adv_loss", "D_loss", "target_ent_loss"):
+            assert key in losses and np.isfinite(float(losses[key])), key
+        d_before = np.asarray(state.d_params["params"]["conv1"]["kernel"])
+        d_after = np.asarray(new_state.d_params["params"]["conv1"]["kernel"])
+        assert np.abs(d_after - d_before).max() > 0
+
+
+class TestColorAug:
+    def test_batched_cca_shapes_and_range(self):
+        from hiast_tpu.ops.color_aug import batched_color_aug
+
+        imgs = RNG.integers(0, 255, size=(4, 32, 64, 3)).astype(np.uint8)
+        out = np.asarray(batched_color_aug(jnp.asarray(imgs), jax.random.PRNGKey(0)))
+        assert out.shape == imgs.shape
+        assert out.min() >= 0 and out.max() <= 255
+        # different key -> different augmentation
+        out2 = np.asarray(batched_color_aug(jnp.asarray(imgs), jax.random.PRNGKey(1)))
+        assert np.abs(out - out2).max() > 0
+
+    def test_equalize_matches_cv2(self):
+        import cv2
+
+        from hiast_tpu.ops.color_aug import equalize
+
+        img = RNG.integers(0, 255, size=(32, 48, 3)).astype(np.uint8)
+        got = np.asarray(equalize(jnp.asarray(img, jnp.float32), None)).astype(np.uint8)
+        want = np.stack([cv2.equalizeHist(img[..., c]) for c in range(3)], axis=-1)
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+class TestLRSchedule:
+    def test_cosine_matches_torch_formula(self):
+        cfg = tiny_cfg(**{"train.lr": 3e-6, "train.total_iter": 8000})
+        from hiast_tpu.selftrain.train_state import lr_schedule
+
+        fn = lr_schedule(cfg)
+        eta_min = 3e-6 * 1e-3
+        for t in (0, 1, 4000, 7999):
+            want = eta_min + (3e-6 - eta_min) * (1 + np.cos(np.pi * t / 8000)) / 2
+            assert abs(float(fn(t)) - want) < 1e-12
+
+    def test_poly(self):
+        cfg = tiny_cfg(**{
+            "train.lr": 1e-4, "train.total_iter": 100, "train.lr_scheduler.type": "Poly"
+        })
+        from hiast_tpu.selftrain.train_state import lr_schedule
+
+        fn = lr_schedule(cfg)
+        assert abs(float(fn(50)) - 1e-4 * (1 - 0.5) ** 0.9) < 1e-12
