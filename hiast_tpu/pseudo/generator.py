@@ -1,0 +1,195 @@
+"""Pseudo-label generation drivers (the round-contract artifact writers).
+
+Orchestrates the on-device policy math (pseudo/policies.py) over the target
+dataset and writes the cross-round artifact set the training side consumes
+(reference: code/workflows/pseudo_label_generator.py:48-62):
+
+    <save_dir>/<image>_pseudo_label.png      gray uint8 label maps
+    <save_dir>/../class_threshold.npy        final per-class thresholds
+    <save_dir>/../statics_class.npy          total selected pixels per class
+    <save_dir>/../class_mean_probabilities.npy  EMA of selected-pixel confidence
+    <save_dir>/../sample_class_stats.json    per-image per-class pixel counts
+    <save_dir>/../samples_with_class.json    {class: [[image, pixels], ...]}
+
+The hot path — forward, softmax-max, histogram, threshold update, selection,
+per-class stats — is ONE jit'd program per batch; the host only writes PNGs.
+Unlike the reference (single-GPU only, pseudo_label_generator.py:36), the
+batch may be sharded over the data mesh axis: the per-class histogram is a
+global reduction under jit, so the carried IAS state stays replicated.
+"""
+from __future__ import annotations
+
+import json
+import os
+from functools import partial
+from typing import Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hiast_tpu.pseudo import policies as P
+from hiast_tpu.registry import PSEUDO_POLICY
+
+
+def _write_gray_png(path: str, arr: np.ndarray) -> None:
+    from PIL import Image
+
+    Image.fromarray(arr.astype(np.uint8), mode="L").save(path)
+
+
+class BasePseudoGenerator:
+    """Drives batches through a jit'd selection step and writes artifacts.
+
+    ``forward_fn(images_uint8) -> logits [B, H, W, C] fp32`` encapsulates the
+    model (already closed over params/batch_stats, jit-ready).
+    ``data_iter`` yields {'images': uint8 [B,H,W,3], 'image_paths': [str]}.
+    """
+
+    def __init__(self, cfg, forward_fn: Callable, data_iter_factory: Callable[[], Iterable]):
+        self.cfg = cfg
+        self.forward_fn = forward_fn
+        self.data_iter_factory = data_iter_factory
+        self.num_classes = cfg.dataset.num_classes
+        self.num_bins = cfg.pseudo_policy.num_hist_bins
+        self.save_dir = cfg.pseudo_policy.save_dir
+        assert self.save_dir, "pseudo_policy.save_dir must be set"
+        self.stats_dir = os.path.dirname(os.path.normpath(self.save_dir))
+
+        self.statics_class = np.zeros(self.num_classes, np.int64)
+        self.sample_stats: list[dict] = []
+        self.samples_class: dict[int, list] = {c: [] for c in range(self.num_classes)}
+        self.class_mean_probs = np.zeros(self.num_classes, np.float32)
+        self.class_threshold: np.ndarray | None = None
+
+    # -- jit'd batch programs ----------------------------------------------
+    @partial(jax.jit, static_argnums=0)
+    def _select_step(self, logits, thresholds, cmp):
+        """(logits, thr, cmp) -> (plbl, counts[B,C], new_cmp)."""
+        maxprob, pred = P.confidences(logits)
+        plbl = P.select_pseudo_labels(maxprob, pred, thresholds)
+        counts = P.per_sample_class_counts(plbl, self.num_classes)
+        sums, totals = P.class_prob_sums(plbl, maxprob, self.num_classes)
+        new_cmp = P.update_class_mean_probs(
+            cmp, sums, totals, self.cfg.preprocessor.copy_paste.gamma
+        )
+        return plbl.astype(jnp.uint8), counts, new_cmp
+
+    @partial(jax.jit, static_argnums=0)
+    def _hist_step(self, logits):
+        maxprob, pred = P.confidences(logits)
+        return P.class_prob_histogram(maxprob, pred, self.num_classes, self.num_bins)
+
+    # -- host-side bookkeeping ---------------------------------------------
+    def _record_batch(self, plbl_np, counts_np, image_paths):
+        for img_path, counts, plbl in zip(image_paths, counts_np, plbl_np):
+            current = {}
+            for c in np.nonzero(counts)[0]:
+                n = int(counts[c])
+                current[int(c)] = n
+                self.samples_class[int(c)].append([img_path, n])
+                self.statics_class[c] += n
+            current["file"] = img_path
+            self.sample_stats.append(current)
+            name = os.path.splitext(os.path.basename(img_path))[0]
+            _write_gray_png(
+                os.path.join(self.save_dir, f"{name}_pseudo_label.png"), plbl
+            )
+
+    def save_data(self):
+        if self.class_threshold is not None:
+            np.save(os.path.join(self.stats_dir, "class_threshold.npy"), self.class_threshold)
+        np.save(os.path.join(self.stats_dir, "statics_class.npy"), self.statics_class)
+        np.save(
+            os.path.join(self.stats_dir, "class_mean_probabilities.npy"),
+            self.class_mean_probs,
+        )
+        with open(os.path.join(self.stats_dir, "sample_class_stats.json"), "w") as f:
+            json.dump(self.sample_stats, f)
+        with open(os.path.join(self.stats_dir, "samples_with_class.json"), "w") as f:
+            json.dump(self.samples_class, f)
+
+    def _already_done(self, n_expected: int) -> bool:
+        return (
+            os.path.isdir(self.save_dir) and len(os.listdir(self.save_dir)) >= n_expected
+        )
+
+    def prepare_dirs(self):
+        os.makedirs(self.save_dir, exist_ok=True)
+        assert len(os.listdir(self.save_dir)) == 0, (
+            f"pseudo-label dir {self.save_dir} is not empty"
+        )
+
+    def run(self):
+        raise NotImplementedError
+
+
+@PSEUDO_POLICY.register("CT")
+class ConstantThresholdGenerator(BasePseudoGenerator):
+    def initial_thresholds(self):
+        return jnp.full((self.num_classes,), self.cfg.pseudo_policy.ct.threshold, jnp.float32)
+
+    def run(self):
+        self.prepare_dirs()
+        thresholds = self.initial_thresholds()
+        cmp = jnp.asarray(self.class_mean_probs)
+        for batch in self.data_iter_factory():
+            logits = self.forward_fn(batch["images"])
+            plbl, counts, cmp = self._select_step(logits, thresholds, cmp)
+            self._record_batch(np.asarray(plbl), np.asarray(counts), batch["image_paths"])
+        self.class_mean_probs = np.asarray(cmp)
+        if thresholds is not None:
+            self.class_threshold = np.asarray(thresholds)
+        self.save_data()
+
+
+@PSEUDO_POLICY.register("NT")
+class NoThresholdGenerator(ConstantThresholdGenerator):
+    def initial_thresholds(self):
+        return None
+
+
+@PSEUDO_POLICY.register("CBST")
+class CBSTGenerator(ConstantThresholdGenerator):
+    """Two passes: dataset-wide per-class histogram, then selection."""
+
+    def initial_thresholds(self):
+        hist = jnp.zeros((self.num_classes, self.num_bins), jnp.float32)
+        for batch in self.data_iter_factory():
+            logits = self.forward_fn(batch["images"])
+            hist = hist + self._hist_step(logits)
+        return P.cbst_thresholds(hist, self.cfg.pseudo_policy.cbst.p)
+
+
+@PSEUDO_POLICY.register("IAS")
+class IASGenerator(BasePseudoGenerator):
+    """Instance-adaptive selector: thresholds are carried state, updated
+    per batch BEFORE selection (reference pseudo_label_generator.py:181-213)."""
+
+    @partial(jax.jit, static_argnums=0)
+    def _ias_step(self, logits, state: P.IASState):
+        maxprob, pred = P.confidences(logits)
+        hist = P.class_prob_histogram(maxprob, pred, self.num_classes, self.num_bins)
+        ias = self.cfg.pseudo_policy.ias
+        new_thr = P.ias_update(state, hist, ias.alpha, ias.beta, ias.gamma)
+        plbl = P.select_pseudo_labels(maxprob, pred, new_thr)
+        counts = P.per_sample_class_counts(plbl, self.num_classes)
+        sums, totals = P.class_prob_sums(plbl, maxprob, self.num_classes)
+        new_cmp = P.update_class_mean_probs(
+            state.class_mean_probs, sums, totals, self.cfg.preprocessor.copy_paste.gamma
+        )
+        return plbl.astype(jnp.uint8), counts, P.IASState(new_thr, new_cmp)
+
+    def run(self):
+        self.prepare_dirs()
+        state = P.IASState(
+            thresholds=jnp.full((self.num_classes,), 0.9, jnp.float32),
+            class_mean_probs=jnp.zeros((self.num_classes,), jnp.float32),
+        )
+        for batch in self.data_iter_factory():
+            logits = self.forward_fn(batch["images"])
+            plbl, counts, state = self._ias_step(logits, state)
+            self._record_batch(np.asarray(plbl), np.asarray(counts), batch["image_paths"])
+        self.class_threshold = np.asarray(state.thresholds)
+        self.class_mean_probs = np.asarray(state.class_mean_probs)
+        self.save_data()

@@ -1,0 +1,169 @@
+"""Pseudo-label policy tests: histogram quantile fidelity vs np.quantile,
+IAS update vs a ragged-list numpy reference, and full generator artifact
+contracts."""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hiast_tpu.config import default_config
+from hiast_tpu.pseudo import policies as P
+from hiast_tpu.pseudo.generator import IASGenerator, CBSTGenerator, ConstantThresholdGenerator, NoThresholdGenerator
+
+RNG = np.random.default_rng(3)
+C, BINS = 19, 2048
+
+
+def make_probs_preds(n=20000):
+    # skewed confidences like a real softmax-max distribution
+    probs = np.clip(RNG.beta(5, 1, size=n).astype(np.float32), 1e-4, 0.9999)
+    preds = RNG.integers(0, C, size=n).astype(np.int32)
+    return probs, preds
+
+
+class TestHistogramQuantile:
+    def test_matches_np_quantile(self):
+        probs, preds = make_probs_preds()
+        hist = P.class_prob_histogram(jnp.asarray(probs), jnp.asarray(preds), C, BINS)
+        q = np.linspace(0.05, 0.95, C).astype(np.float32)
+        got = np.asarray(P.histogram_quantile(hist, jnp.asarray(q)))
+        for c in range(C):
+            want = np.quantile(probs[preds == c], q[c])
+            assert abs(got[c] - want) < 2.0 / BINS, (c, got[c], want)
+
+
+class TestIASUpdate:
+    def test_matches_ragged_reference(self):
+        """Against a numpy re-derivation of the reference IAS rule
+        (pseudo_label_generator.py:171-209)."""
+        alpha, beta, gamma = 0.5, 0.9, 8.0
+        theta = np.full(C, 0.9, np.float32)
+        state = P.IASState(jnp.asarray(theta), jnp.zeros(C))
+        for _ in range(3):
+            probs, preds = make_probs_preds()
+            hist = P.class_prob_histogram(jnp.asarray(probs), jnp.asarray(preds), C, BINS)
+            new_theta = np.asarray(
+                P.ias_update(state, hist, alpha, beta, gamma)
+            )
+            # numpy ragged reference
+            want = np.ones(C, np.float32)
+            for c in range(C):
+                pop = [theta[c]] + list(probs[preds == c].astype(np.float16))
+                want[c] = np.quantile(pop, 1 - alpha * theta[c] ** gamma)
+            want = beta * theta + (1 - beta) * want
+            want[want >= 1] = 0.999
+            np.testing.assert_allclose(new_theta, want, atol=3.0 / BINS)
+            theta = new_theta
+            state = P.IASState(jnp.asarray(theta), state.class_mean_probs)
+
+    def test_empty_class_keeps_threshold_region(self):
+        """A class with no predicted pixels sees only its seed sample."""
+        probs = np.full(100, 0.5, np.float32)
+        preds = np.zeros(100, np.int32)  # everything class 0
+        theta = np.full(C, 0.9, np.float32)
+        state = P.IASState(jnp.asarray(theta), jnp.zeros(C))
+        hist = P.class_prob_histogram(jnp.asarray(probs), jnp.asarray(preds), C, BINS)
+        new = np.asarray(P.ias_update(state, hist, 0.5, 0.9, 8.0))
+        # classes 1..18: population = [0.9] -> quantile = 0.9 -> EMA keeps 0.9
+        np.testing.assert_allclose(new[1:], 0.9, atol=2.0 / BINS)
+
+
+class TestSelection:
+    def test_select_and_stats(self):
+        probs = np.array([[0.95, 0.5], [0.8, 0.99]], np.float32)
+        preds = np.array([[0, 1], [2, 1]], np.int32)
+        thr = np.array([0.9, 0.9, 0.9] + [0.9] * 16, np.float32)
+        plbl = np.asarray(
+            P.select_pseudo_labels(jnp.asarray(probs), jnp.asarray(preds), jnp.asarray(thr))
+        )
+        np.testing.assert_array_equal(plbl, [[0, 255], [255, 1]])
+        counts = np.asarray(P.per_sample_class_counts(jnp.asarray(plbl[None]), C))
+        assert counts[0, 0] == 1 and counts[0, 1] == 1 and counts[0, 2] == 0
+        sums, totals = P.class_prob_sums(jnp.asarray(plbl), jnp.asarray(probs), C)
+        assert abs(float(sums[0]) - 0.95) < 1e-6
+        assert abs(float(sums[1]) - 0.99) < 1e-6
+        assert float(totals[2]) == 0
+
+    def test_class_mean_probs_ema(self):
+        cmp = jnp.asarray(np.array([0.0, 0.5] + [0.0] * 17, np.float32))
+        sums = jnp.asarray(np.array([0.9, 0.8] + [0.0] * 17, np.float32))
+        counts = jnp.asarray(np.array([1.0, 1.0] + [0.0] * 17, np.float32))
+        new = np.asarray(P.update_class_mean_probs(cmp, sums, counts, 0.99))
+        assert abs(new[0] - 0.9) < 1e-6  # first observation: direct init
+        assert abs(new[1] - (0.5 * 0.99 + 0.8 * 0.01)) < 1e-6  # EMA
+        assert new[2] == 0.0  # unobserved: unchanged
+
+
+class TestConfidences:
+    def test_fused_matches_softmax(self):
+        logits = RNG.normal(size=(4, 8, 8, C)).astype(np.float32)
+        maxprob, pred = P.confidences(jnp.asarray(logits))
+        sm = jax.nn.softmax(jnp.asarray(logits), axis=-1)
+        np.testing.assert_allclose(np.asarray(maxprob), np.asarray(sm.max(axis=-1)), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(pred), np.asarray(jnp.argmax(sm, -1)))
+
+
+def _fake_cfg(tmp_path, policy):
+    cfg = default_config()
+    cfg.pseudo_policy.type = policy
+    cfg.pseudo_policy.save_dir = str(tmp_path / "work" / "pseudo" / "gray_label")
+    cfg.pseudo_policy.ias.alpha = 0.5
+    cfg.dataset.num_classes = C
+    return cfg
+
+
+def _fake_data(n_batches=3, b=2, h=16, w=24):
+    def factory():
+        r = np.random.default_rng(0)
+        for i in range(n_batches):
+            yield {
+                "images": r.integers(0, 255, size=(b, h, w, 3)).astype(np.uint8),
+                "image_paths": [f"img_{i}_{j}.png" for j in range(b)],
+            }
+
+    return factory
+
+
+def _fake_forward():
+    r = np.random.default_rng(1)
+
+    def forward(images):
+        b, h, w, _ = images.shape
+        return jnp.asarray(r.normal(size=(b, h, w, C)).astype(np.float32) * 3)
+
+    return forward
+
+
+@pytest.mark.parametrize("policy_cls,policy", [
+    (IASGenerator, "IAS"),
+    (ConstantThresholdGenerator, "CT"),
+    (NoThresholdGenerator, "NT"),
+    (CBSTGenerator, "CBST"),
+])
+def test_generator_artifact_contract(tmp_path, policy_cls, policy):
+    cfg = _fake_cfg(tmp_path, policy)
+    gen = policy_cls(cfg, _fake_forward(), _fake_data())
+    gen.run()
+    save_dir = cfg.pseudo_policy.save_dir
+    stats_dir = os.path.dirname(os.path.normpath(save_dir))
+    assert len(os.listdir(save_dir)) == 6  # 3 batches x 2 images
+    assert os.path.exists(os.path.join(stats_dir, "statics_class.npy"))
+    assert os.path.exists(os.path.join(stats_dir, "class_mean_probabilities.npy"))
+    with open(os.path.join(stats_dir, "samples_with_class.json")) as f:
+        swc = json.load(f)
+    assert set(swc.keys()) == {str(c) for c in range(C)}
+    with open(os.path.join(stats_dir, "sample_class_stats.json")) as f:
+        stats = json.load(f)
+    assert len(stats) == 6 and all("file" in s for s in stats)
+    if policy != "NT":
+        thr = np.load(os.path.join(stats_dir, "class_threshold.npy"))
+        assert thr.shape == (C,) and (thr <= 1.0).all()
+    # pseudo-label PNGs decode to uint8 masks with only class ids / 255
+    from PIL import Image
+
+    sample = np.array(Image.open(os.path.join(save_dir, "img_0_0_pseudo_label.png")))
+    assert sample.dtype == np.uint8
+    assert set(np.unique(sample)) <= set(range(C)) | {255}
