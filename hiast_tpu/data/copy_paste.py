@@ -1,0 +1,95 @@
+"""Hard-aware pseudo-label augmentation (HPA cross-image copy-paste).
+
+Re-implements the reference CopyPaste preprocessor (reference:
+code/sseg/datasets/preprocessor.py:11-122):
+
+- hard classes = the ``selected_num_classes`` lowest class-mean-probability
+  classes (SYNTHIA masks its 3 non-existent classes {9, 14, 16} to +inf);
+- donor CLASS sampled with probability proportional to (1 - mean_prob)^2;
+- donor IMAGE drawn from samples_with_class[class] (pixel-count filtered);
+- ALL hard-class pixels of the donor are pasted into the input image/label.
+
+Faithfulness note: the reference's 3-donor loop marks every selected class
+as 'pasted' after the first donor regardless of donor content
+(preprocessor.py:106-110), so it always terminates after ONE donor; we keep
+the loop shape (cfg.preprocessor.copy_paste.max_donors) with the same
+accounting, which reproduces that single-donor behavior.
+
+The mask/paste itself is vectorized numpy on the host here; the training
+step can equivalently fold it on device (ops-level jnp.where) when the
+pipeline ships donor tensors — donor selection stays host-side either way
+because it reads run-time stats files.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from hiast_tpu.registry import PREPROCESSOR
+
+IGNORE = 255
+
+
+@PREPROCESSOR.register("CopyPaste")
+class CopyPaste:
+    def __init__(self, cfg, dataset_copy_from, init_class_value: np.ndarray):
+        self.cfg = cfg
+        self.dataset = dataset_copy_from
+
+        class_value = np.asarray(init_class_value, np.float64).copy()
+        if cfg.dataset.source.type == "SYNTHIA":
+            class_value[[9, 14, 16]] = np.inf  # classes absent from SYNTHIA
+
+        k = cfg.preprocessor.copy_paste.selected_num_classes
+        self.class_value = class_value
+        self.hard_classes = np.argsort(class_value)[:k]
+        self.samples_with_class = dataset_copy_from.get_samples_with_class()
+        probs = (1.0 - np.where(np.isfinite(class_value), class_value, 1.0)) ** 2
+        self.class_probs = probs / probs.sum()
+
+        self._hard_lut = np.zeros(256, bool)
+        self._hard_lut[self.hard_classes] = True
+
+    def _random_select(self, selected_classes, rng: np.random.Generator) -> int:
+        """Class sampled from the global hard-class distribution, rejected
+        until it lands in ``selected_classes`` (reference preprocessor.py:70-77)."""
+        selected = set(int(c) for c in selected_classes)
+        while True:
+            c = int(rng.choice(len(self.class_probs), p=self.class_probs))
+            if c in selected:
+                return c
+
+    def run(self, img: np.ndarray, lbl: np.ndarray, rng: np.random.Generator):
+        import cv2
+
+        img = img.copy()
+        lbl = lbl.copy()
+        cp_mask = np.full_like(lbl, IGNORE)
+        selected_classes = list(self.hard_classes)
+        exist_classes: list[int] = []
+        max_donors = self.cfg.preprocessor.copy_paste.max_donors
+
+        for _ in range(max_donors):
+            select_c = self._random_select(selected_classes, rng)
+            donors = self.samples_with_class[select_c]
+            if not donors:
+                break
+            file_name = donors[int(rng.integers(0, len(donors)))]
+            donor_idx = self.dataset.get_file_to_idx(file_name)
+            d_img, d_lbl, _ = self.dataset.load_data(donor_idx)
+            if d_img.shape != img.shape:
+                d_img = cv2.resize(d_img, (img.shape[1], img.shape[0]), interpolation=cv2.INTER_LINEAR)
+                d_lbl = cv2.resize(d_lbl, (img.shape[1], img.shape[0]), interpolation=cv2.INTER_NEAREST)
+
+            for c in self.hard_classes:
+                if c in selected_classes and c not in exist_classes:
+                    exist_classes.append(int(c))
+            mask = self._hard_lut[d_lbl]
+            img[mask] = d_img[mask]
+            lbl[mask] = d_lbl[mask]
+            cp_mask[mask] = d_lbl[mask]
+
+            if len(exist_classes) >= len(self.hard_classes) * 0.5:
+                break
+            selected_classes = [c for c in self.hard_classes if c not in exist_classes]
+
+        return img, lbl, cp_mask

@@ -1,0 +1,99 @@
+"""Batch assembly with background prefetch.
+
+Replaces torch DataLoader + DistributedSampler (reference:
+code/workflows/trainer/base_trainer.py:60-84) for the single-program TPU
+runtime: ONE host pipeline produces the GLOBAL batch, which the caller
+device_puts with the batch axis sharded over the data mesh — XLA splits it
+across chips; no per-process samplers or epoch reseeding protocol.
+
+Prefetch: a small thread pool decodes the next batches while the TPU runs
+the current step (PIL/cv2 release the GIL for the heavy parts).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator
+
+import numpy as np
+
+
+def collate(samples: list[dict]) -> dict:
+    batch = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        if isinstance(vals[0], np.ndarray):
+            batch[key] = np.stack(vals)
+        else:
+            batch[key] = vals
+    return batch
+
+
+class BatchIterator:
+    """One epoch of shuffled, collated batches."""
+
+    def __init__(self, dataset, batch_size, shuffle=True, seed=0, epoch=0, drop_last=True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = epoch
+        self.drop_last = drop_last
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[dict]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.default_rng((self.seed, self.epoch)).shuffle(order)
+        limit = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        for start in range(0, limit, self.batch_size):
+            idxs = order[start : start + self.batch_size]
+            samples = []
+            for i in idxs:
+                rng = np.random.default_rng((self.seed, self.epoch, int(i)))
+                samples.append(self.dataset.get_item(int(i), rng))
+            yield collate(samples)
+
+
+def infinite_batches(dataset, batch_size, seed=0, prefetch=2) -> Iterator[dict]:
+    """Endless stream of train batches with epoch reshuffling + prefetch."""
+
+    def produce():
+        epoch = 0
+        while True:
+            it = BatchIterator(dataset, batch_size, shuffle=True, seed=seed, epoch=epoch)
+            yield from it
+            epoch += 1
+
+    return prefetched(produce(), prefetch)
+
+
+def prefetched(iterator: Iterator, depth: int = 2) -> Iterator:
+    """Run `iterator` in a daemon thread, buffering `depth` items."""
+    if depth <= 0:
+        yield from iterator
+        return
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    _SENTINEL = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as e:  # propagate into the consumer
+            q.put(("__error__", e))
+        q.put(_SENTINEL)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            return
+        if isinstance(item, tuple) and len(item) == 2 and item[0] == "__error__":
+            raise item[1]
+        yield item
