@@ -1,0 +1,331 @@
+"""Training workflows (TRAINER registry).
+
+Orchestration layer over the jit'd steps: data streams in, one device program
+per iteration, periodic validation + checkpointing.  Mirrors the reference's
+four trainers (reference: code/workflows/trainer/*.py) minus everything the
+TPU runtime absorbs — no process spawning, no DistributedSampler, no apex,
+no manual EMA loop, no explicit all_reduces.
+"""
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hiast_tpu.data.copy_paste import CopyPaste
+from hiast_tpu.data.datasets import build_dataset
+from hiast_tpu.data.pipeline import BatchIterator, infinite_batches
+from hiast_tpu.evaluation import make_val_step, run_validation
+from hiast_tpu.models.segmentors import build_segmentor
+from hiast_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from hiast_tpu.registry import TRAINER
+from hiast_tpu.selftrain import steps as S
+from hiast_tpu.selftrain.train_state import (
+    TrainState,
+    lr_schedule,
+    make_d_optimizer,
+    make_optimizer,
+)
+from hiast_tpu.utils.checkpoint import CheckpointPolicy, load_weights
+from hiast_tpu.utils.logging_utils import Profiler, init_logger, init_writer
+from hiast_tpu.utils.recorder import ResultRecorder
+
+
+class BaseTrainer:
+    """Common assembly: model, optimizer, state, data, recorder, ckpt policy.
+
+    ``datasets`` may inject pre-built dataset objects (keys 'source',
+    'target', 'val') — used by tests and benchmarks with synthetic data.
+    ``backbone_layers`` shrinks the trunk for tests.
+    """
+
+    needs_source = False
+    needs_target = False
+
+    def __init__(self, cfg, datasets: dict | None = None, backbone_layers=None):
+        self.cfg = cfg
+        self.datasets = datasets or {}
+        self.backbone_layers = backbone_layers
+        self.assert_cfg()
+        self.initialize()
+        self.build_all_model()
+        self.build_train_data_reader()
+        self.build_val_data_reader()
+
+    # -- hooks ---------------------------------------------------------------
+    def assert_cfg(self):
+        pass
+
+    def make_step(self) -> Callable:
+        raise NotImplementedError
+
+    def next_batch(self) -> dict:
+        raise NotImplementedError
+
+    # -- assembly ------------------------------------------------------------
+    def initialize(self):
+        np.random.seed(self.cfg.train.random_seed)
+        self.base_rng = jax.random.PRNGKey(self.cfg.train.random_seed)
+        work_dir = self.cfg.work_dir
+        os.makedirs(work_dir, exist_ok=True)
+        self.logger = init_logger(os.path.join(work_dir, "train.log"))
+        self.writer = init_writer(os.path.join(work_dir, "tensorboard"))
+        self.mesh = make_mesh(self.cfg)
+        self.profiler = Profiler(self.cfg, work_dir)
+        self.ckpt = CheckpointPolicy(
+            os.path.join(work_dir, "checkpoints"),
+            self.cfg.train.total_iter,
+            self.cfg.train.is_save_all,
+        )
+
+    def _compute_dtype(self):
+        return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
+            self.cfg.runtime.precision.compute_dtype
+        ]
+
+    def build_all_model(self):
+        cfg = self.cfg
+        self.segmentor = build_segmentor(
+            cfg, dtype=self._compute_dtype(), backbone_layers=self.backbone_layers
+        )
+        ch, cw = cfg.dataset.crop_size
+        variables = self.segmentor.init_variables(
+            jax.random.PRNGKey(cfg.train.random_seed), (1, ch, cw, 3)
+        )
+        variables = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+        if cfg.train.resume_from:
+            variables = load_weights(cfg.train.resume_from, variables)
+            self.logger.info(f"resumed weights from {cfg.train.resume_from}")
+        self.tx = make_optimizer(cfg, variables["params"])
+        state_kwargs = dict(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=self.tx.init(variables["params"]),
+        )
+        self.d_tx = None
+        state_kwargs.update(self.extra_state(variables))
+        self.state = replicate(self.mesh, TrainState(**state_kwargs))
+        self.lr_fn = lr_schedule(cfg)
+        self.model_recorder = ResultRecorder(
+            cfg, "model", self.logger, self.writer, self.lr_fn
+        )
+        self.step_fn = jax.jit(self.make_step(), donate_argnums=0)
+
+    def extra_state(self, variables) -> dict:
+        return {}
+
+    def build_train_data_reader(self):
+        cfg = self.cfg
+        if self.needs_source:
+            ds = self.datasets.get("source") or build_dataset(cfg, "source")
+            self.s_stream = infinite_batches(ds, cfg.train.batch_size, seed=cfg.train.random_seed)
+        if self.needs_target:
+            ds = self.datasets.get("target") or build_dataset(
+                cfg, "target", pseudo_dir=cfg.dataset.target.pseudo_dir
+            )
+            self.t_dataset = ds
+            self.t_stream = infinite_batches(ds, cfg.train.batch_size, seed=cfg.train.random_seed + 1)
+
+    def build_val_data_reader(self):
+        cfg = self.cfg
+        self.v_dataset = self.datasets.get("val")
+        if self.v_dataset is None and cfg.dataset.val.type:
+            self.v_dataset = build_dataset(cfg, "val", aug_type=[])
+        self.val_step = None
+        if self.v_dataset is not None and cfg.dataset.val.resize_size:
+            self.val_step = make_val_step(
+                self.segmentor, cfg.dataset.val.resize_size, cfg.dataset.num_classes
+            )
+
+    # -- loop ----------------------------------------------------------------
+    def run(self):
+        cfg = self.cfg
+        self.logger.info("=" * 100)
+        self.logger.info(f"config:\n{cfg.dump()}")
+        self.logger.info("=" * 100)
+        self.model_recorder.reset_time_and_losses()
+
+        for it in range(1, cfg.train.total_iter + 1):
+            self.profiler.step(it)
+            batch = shard_batch(self.mesh, self.next_batch())
+            rng = jax.random.fold_in(self.base_rng, it)
+            self.state, losses = self.step_fn(self.state, batch, rng)
+            self.model_recorder.record_losses(losses)
+            if it % cfg.train.iter_report == 0:
+                self.model_recorder.report_losses(it)
+            if self.val_step is not None and it % cfg.train.iter_val == 0:
+                self.validate(it)
+        self.model_recorder.report_end_info()
+
+    def validate(self, iteration: int):
+        cfg = self.cfg
+        val_iter = BatchIterator(
+            self.v_dataset, cfg.validate.batch_size, shuffle=False, drop_last=False
+        )
+        iou, miou = run_validation(
+            self.val_step, self.state.params, self.state.batch_stats, val_iter
+        )
+        is_best = self.model_recorder.record_and_report_metrics(miou, iou, iteration)
+        self.save_checkpoint(iteration, is_best)
+
+    def checkpoint_tree(self) -> dict:
+        tree = {
+            "step": self.state.step,
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "opt_state": self.state.opt_state,
+        }
+        if self.state.ema_params is not None:
+            tree["ema_params"] = self.state.ema_params
+        if self.state.d_params is not None:
+            tree["d_params"] = self.state.d_params
+        return tree
+
+    def save_checkpoint(self, iteration: int, is_best: bool):
+        self.ckpt.save("model", self.checkpoint_tree(), iteration, is_best)
+
+
+@TRAINER.register("SourceOnlyTrainer")
+class SourceOnlyTrainer(BaseTrainer):
+    needs_source = True
+
+    def make_step(self):
+        return S.make_source_only_step(self.segmentor, self.tx)
+
+    def next_batch(self):
+        b = next(self.s_stream)
+        return {"s_img": b["images"], "s_lbl": b["labels"].astype(np.int32)}
+
+
+@TRAINER.register("SelfTrainingTrainer")
+class SelfTrainingTrainer(BaseTrainer):
+    """Target-only training on pseudo labels (reference self_training_trainer.py)."""
+
+    needs_target = True
+
+    def assert_cfg(self):
+        assert self.cfg.dataset.target.pseudo_dir or "target" in self.datasets, (
+            "pseudo_dir must be set for self-training"
+        )
+
+    def make_step(self):
+        return S.make_self_training_step(self.segmentor, self.tx)
+
+    def next_batch(self):
+        b = next(self.t_stream)
+        return {"t_img": b["images"], "t_plbl": b["labels"].astype(np.int32)}
+
+
+@TRAINER.register("ConsistencySelfTrainingTrainer")
+class ConsistencySelfTrainingTrainer(SelfTrainingTrainer):
+    """The full HIAST trainer: EMA teacher + on-device strong view + HPA
+    copy-paste (reference consistency_self_training_trainer.py)."""
+
+    def assert_cfg(self):
+        super().assert_cfg()
+        assert self.cfg.cst_training.is_enabled
+        assert self.cfg.preprocessor.type == "CopyPaste"
+
+    def extra_state(self, variables):
+        return {"ema_params": jax.tree.map(jnp.copy, variables["params"])}
+
+    def build_all_model(self):
+        super().build_all_model()
+        self.ema_recorder = ResultRecorder(
+            self.cfg, "ema_model", self.logger, self.writer, self.lr_fn
+        )
+
+    def build_train_data_reader(self):
+        cfg = self.cfg
+        ds = self.datasets.get("target") or build_dataset(
+            cfg, "target", pseudo_dir=cfg.dataset.target.pseudo_dir
+        )
+        # wire hard-aware copy-paste with the previous round's class stats
+        # (reference consistency trainer :27-44)
+        pseudo_dir = cfg.dataset.target.pseudo_dir
+        class_value = None
+        if pseudo_dir:
+            cmp_path = os.path.join(
+                os.path.dirname(os.path.normpath(pseudo_dir)), "class_mean_probabilities.npy"
+            )
+            if os.path.exists(cmp_path):
+                class_value = np.load(cmp_path)
+        if class_value is None:
+            class_value = np.full(cfg.dataset.num_classes, 0.9, np.float32)
+        if ds.get_samples_with_class():
+            ds.set_preprocessor(CopyPaste(cfg, ds, class_value))
+        self.t_dataset = ds
+        self.t_stream = infinite_batches(ds, cfg.train.batch_size, seed=cfg.train.random_seed + 1)
+
+    def make_step(self):
+        # strong view kind: from cfg aug list (['MS','CCA'] -> CCA on device),
+        # falling back to an injected dataset's device_color_aug attribute
+        from hiast_tpu.data.augment import split_aug_types
+
+        _, strong = split_aug_types(list(self.cfg.dataset.target.aug_type))
+        if strong is None and "target" in self.datasets:
+            strong = getattr(self.datasets["target"], "device_color_aug", None)
+        return S.make_consistency_step(self.segmentor, self.tx, strong_aug=strong)
+
+    def validate(self, iteration: int):
+        cfg = self.cfg
+        val_iter = BatchIterator(
+            self.v_dataset, cfg.validate.batch_size, shuffle=False, drop_last=False
+        )
+        iou, miou = run_validation(
+            self.val_step, self.state.params, self.state.batch_stats, val_iter
+        )
+        is_best = self.model_recorder.record_and_report_metrics(miou, iou, iteration)
+        self.save_checkpoint(iteration, is_best)
+        # EMA model validated + saved as <ema_model_last> (reference :85-87,156-158)
+        val_iter = BatchIterator(
+            self.v_dataset, cfg.validate.batch_size, shuffle=False, drop_last=False
+        )
+        ema_iou, ema_miou = run_validation(
+            self.val_step, self.state.ema_params, self.state.batch_stats, val_iter
+        )
+        self.ema_recorder.record_and_report_metrics(ema_miou, ema_iou, iteration)
+        from hiast_tpu.utils.checkpoint import save_train_state
+
+        save_train_state(
+            self.ckpt.ckpt_dir,
+            "ema_model_last",
+            {"params": self.state.ema_params, "batch_stats": self.state.batch_stats},
+        )
+
+    def run(self):
+        super().run()
+        self.ema_recorder.report_end_info()
+
+
+@TRAINER.register("AdversarialWarmupTrainer")
+class AdversarialWarmupTrainer(BaseTrainer):
+    needs_source = True
+    needs_target = True
+
+    def assert_cfg(self):
+        assert self.cfg.model.discriminator.is_enabled
+
+    def extra_state(self, variables):
+        ch, cw = self.cfg.dataset.crop_size
+        d_vars = self.segmentor.init_d_variables(
+            jax.random.PRNGKey(self.cfg.train.random_seed + 7), (1, ch, cw, None)
+        )
+        self.d_tx = make_d_optimizer(self.cfg)
+        return {"d_params": d_vars, "d_opt_state": self.d_tx.init(d_vars)}
+
+    def make_step(self):
+        return S.make_adversarial_step(self.segmentor, self.tx, self.d_tx)
+
+    def next_batch(self):
+        s = next(self.s_stream)
+        t = next(self.t_stream)
+        return {
+            "s_img": s["images"],
+            "s_lbl": s["labels"].astype(np.int32),
+            "t_img": t["images"],
+        }

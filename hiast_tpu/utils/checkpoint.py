@@ -1,0 +1,127 @@
+"""Checkpointing: Orbax for full train state, .pth interop for the ecosystem.
+
+A strict superset of the reference's weights-only ``.pth`` saves (reference:
+code/workflows/trainer/base_trainer.py:188-198, SURVEY §5.4 notes the
+inability to resume optimizer state as a known weakness): Orbax checkpoints
+carry (params, batch_stats, ema_params, opt_state, step, IAS state), while
+``export_pth`` / ``load_weights`` keep the published PyTorch checkpoints
+usable as inputs and outputs.
+
+Save policy mirrors the reference: ``<name>_last`` every validation,
+``<name>_best`` on best mIoU, ``<name>_mid`` once past half the iterations,
+optional per-iteration saves.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def _ocp():
+    import orbax.checkpoint as ocp
+
+    return ocp
+
+
+def save_train_state(ckpt_dir: str, name: str, state_tree: Any) -> None:
+    """Atomic full-state save to <ckpt_dir>/<name> (overwrites)."""
+    path = os.path.abspath(os.path.join(ckpt_dir, name))
+    ocp = _ocp()
+    with ocp.StandardCheckpointer() as ckptr:
+        tmp = path + ".tmp"
+        if os.path.exists(tmp):
+            import shutil
+
+            shutil.rmtree(tmp)
+        ckptr.save(tmp, jax.tree.map(np.asarray, state_tree))
+    import shutil
+
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
+def load_train_state(ckpt_dir: str, name: str, target: Any) -> Any:
+    path = os.path.abspath(os.path.join(ckpt_dir, name))
+    ocp = _ocp()
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, target)
+
+
+def load_weights(path: str, target_variables: Any | None = None) -> dict:
+    """Weights-only load from either a torch ``.pth`` or an Orbax directory.
+
+    Mirrors the partial / prefix-tolerant semantics of the reference's
+    ``load_model`` (code/utils/utils.py:68-89): keys are intersected with the
+    target tree when one is provided.
+    """
+    if os.path.isdir(path):
+        ocp = _ocp()
+        with ocp.StandardCheckpointer() as ckptr:
+            loaded = ckptr.restore(path)
+        variables = {
+            k: loaded[k] for k in ("params", "batch_stats") if k in loaded
+        }
+    else:
+        from hiast_tpu.models.convert import load_pth_to_flax
+
+        variables = load_pth_to_flax(path)
+    if target_variables is not None:
+        variables = merge_intersecting(target_variables, variables)
+    return variables
+
+
+def merge_intersecting(target: Any, source: Any) -> Any:
+    """Copy source leaves into target wherever paths+shapes match."""
+
+    def merge(t, s):
+        if isinstance(t, dict):
+            return {
+                k: merge(t[k], s[k]) if isinstance(s, dict) and k in s else t[k]
+                for k in t
+            }
+        if s is None:
+            return t
+        s_arr = np.asarray(s)
+        if tuple(np.shape(t)) == tuple(s_arr.shape):
+            return s_arr.astype(np.asarray(t).dtype)
+        return t
+
+    return merge(target, source)
+
+
+def export_pth(path: str, variables: Any) -> None:
+    """Write a torch-state_dict-compatible .pth from Flax variables."""
+    import torch
+
+    from hiast_tpu.models.convert import flax_to_torch_state_dict
+
+    sd = {
+        k: torch.from_numpy(np.ascontiguousarray(v))
+        for k, v in flax_to_torch_state_dict(jax.tree.map(np.asarray, variables)).items()
+    }
+    torch.save(sd, path)
+
+
+class CheckpointPolicy:
+    """last / best / mid / per-iter save policy (reference base_trainer.py:188-198)."""
+
+    def __init__(self, ckpt_dir: str, total_iter: int, is_save_all: bool = False):
+        self.ckpt_dir = ckpt_dir
+        self.total_iter = total_iter
+        self.is_save_all = is_save_all
+        os.makedirs(ckpt_dir, exist_ok=True)
+        self._mid_saved = False
+
+    def save(self, name: str, state_tree: Any, iteration: int, is_best: bool) -> None:
+        if self.is_save_all:
+            save_train_state(self.ckpt_dir, f"{name}_iter_{iteration}", state_tree)
+        save_train_state(self.ckpt_dir, f"{name}_last", state_tree)
+        if is_best:
+            save_train_state(self.ckpt_dir, f"{name}_best", state_tree)
+        if iteration >= self.total_iter // 2 and not self._mid_saved:
+            save_train_state(self.ckpt_dir, f"{name}_mid", state_tree)
+            self._mid_saved = True

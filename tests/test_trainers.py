@@ -1,0 +1,103 @@
+"""End-to-end trainer tests on synthetic data (tiny trunks, CPU mesh):
+the full orchestration loop — data stream, sharded step, validation,
+checkpointing — runs and LEARNS (mIoU improves over random)."""
+import os
+
+import numpy as np
+import pytest
+
+from hiast_tpu.config import default_config
+from hiast_tpu.data.synthetic import SyntheticSegDataset
+from hiast_tpu.registry import TRAINER, populate
+
+populate()
+
+TINY = (1, 1, 1, 1)
+
+
+def base_cfg(tmp_path, trainer, iters=12):
+    cfg = default_config()
+    cfg.trainer = trainer
+    cfg.work_dir = str(tmp_path / "work")
+    cfg.train.batch_size = 8
+    cfg.train.lr = 2e-4
+    cfg.train.total_iter = iters
+    cfg.train.iter_report = max(iters // 2, 1)
+    cfg.train.iter_val = iters  # one validation at the end
+    cfg.validate.batch_size = 8
+    cfg.dataset.num_classes = 19
+    cfg.dataset.crop_size = [32, 64]
+    cfg.dataset.val.resize_size = [32, 64]
+    cfg.runtime.precision.compute_dtype = "float32"
+    return cfg
+
+
+def synthetic_sets(with_ignore=False):
+    train = SyntheticSegDataset(n=32, h=32, w=64, seed=5, p_ignore=0.3 if with_ignore else 0.0)
+    val = SyntheticSegDataset(n=8, h=32, w=64, seed=5)  # same palette -> same task
+    val.palette = train.palette
+    return train, val
+
+
+class TestSourceOnlyTrainer:
+    def test_learns_and_checkpoints(self, tmp_path):
+        cfg = base_cfg(tmp_path, "SourceOnlyTrainer", iters=30)
+        cfg.model.type = "SourceOnlySegmentor"
+        train, val = synthetic_sets()
+        trainer = TRAINER[cfg.trainer](
+            cfg, datasets={"source": train, "val": val}, backbone_layers=TINY
+        )
+        trainer.run()
+        # learnable synthetic task: must beat random (1/19 ~= 0.05) clearly
+        assert trainer.model_recorder.best_miou > 0.08
+        ckpts = os.listdir(os.path.join(cfg.work_dir, "checkpoints"))
+        assert "model_last" in ckpts and "model_mid" in ckpts and "model_best" in ckpts
+
+
+class TestSelfTrainingTrainer:
+    def test_runs_on_pseudo_labels(self, tmp_path):
+        cfg = base_cfg(tmp_path, "SelfTrainingTrainer", iters=8)
+        cfg.model.type = "SelfTrainingSegmentor"
+        train, val = synthetic_sets(with_ignore=True)
+        trainer = TRAINER[cfg.trainer](
+            cfg, datasets={"target": train, "val": val}, backbone_layers=TINY
+        )
+        trainer.run()
+        assert trainer.model_recorder.best_miou > 0.0
+
+
+class TestConsistencyTrainer:
+    def test_full_hiast_loop(self, tmp_path):
+        cfg = base_cfg(tmp_path, "ConsistencySelfTrainingTrainer", iters=8)
+        cfg.model.type = "SelfTrainingSegmentor"
+        cfg.cst_training.is_enabled = True
+        cfg.cst_training.cst_loss.weight = 0.5
+        cfg.preprocessor.type = "CopyPaste"
+        cfg.dataset.target.aug_type = ["CCA"]
+        train, val = synthetic_sets(with_ignore=True)
+        trainer = TRAINER[cfg.trainer](
+            cfg, datasets={"target": train, "val": val}, backbone_layers=TINY
+        )
+        # copy-paste preprocessor is wired when stats exist; with synthetic
+        # injected sets it still runs (samples_with_class provided by the set)
+        trainer.run()
+        ckpts = os.listdir(os.path.join(cfg.work_dir, "checkpoints"))
+        assert "ema_model_last" in ckpts
+        assert trainer.ema_recorder.best_miou >= 0.0
+
+
+class TestAdversarialTrainer:
+    def test_runs(self, tmp_path):
+        cfg = base_cfg(tmp_path, "AdversarialWarmupTrainer", iters=4)
+        cfg.model.type = "AdversarialWarmupSegmentor"
+        cfg.model.discriminator.is_enabled = True
+        cfg.model.predictor.ent_loss.weight = 1.0
+        train, val = synthetic_sets()
+        target = SyntheticSegDataset(n=16, h=32, w=64, seed=9)
+        trainer = TRAINER[cfg.trainer](
+            cfg,
+            datasets={"source": train, "target": target, "val": val},
+            backbone_layers=TINY,
+        )
+        trainer.run()
+        assert np.isfinite(trainer.model_recorder.best_miou)
