@@ -1,0 +1,72 @@
+"""Pseudo-label generation entry point (reference code/generate_pseudo_labels.py).
+
+    python -m hiast_tpu.cli.generate_pseudo_labels --config_file configs/sl_1.yaml \
+        --pseudo_resume_from .../pseudo_resume_from.pth \
+        --pseudo_save_dir .../sl_1/pseudo_label/gray_label
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from hiast_tpu.cli.common import build_cfg, standard_parser
+from hiast_tpu.data.datasets import build_dataset
+from hiast_tpu.data.pipeline import BatchIterator, prefetched
+from hiast_tpu.models.segmentors import build_segmentor
+from hiast_tpu.registry import PSEUDO_POLICY
+from hiast_tpu.selftrain.steps import normalize_image
+from hiast_tpu.utils.checkpoint import load_weights
+
+
+def make_forward(cfg, segmentor, variables):
+    """uint8 [B,H,W,3] -> full-res fp32 logits, one jit'd program."""
+
+    @jax.jit
+    def forward(images):
+        img = normalize_image(jnp.asarray(images))
+        return segmentor.forward(variables, img, train=False)["logits"]
+
+    return forward
+
+
+def main(argv=None):
+    args = standard_parser("hiast_tpu pseudo-label generator").parse_args(argv)
+    cfg = build_cfg(args)
+
+    segmentor = build_segmentor(cfg, dtype=jnp.bfloat16)
+    variables = segmentor.init_variables(jax.random.PRNGKey(0))
+    variables = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+    if cfg.pseudo_policy.resume_from:
+        variables = load_weights(cfg.pseudo_policy.resume_from, variables)
+    else:
+        import warnings
+
+        warnings.warn("no --pseudo_resume_from given: generating from RANDOM weights")
+
+    h, w = cfg.pseudo_policy.resize_size
+    dataset = build_dataset(cfg, "target", aug_type=[f"PRS-{h}-{w}"])
+
+    def data_iter_factory():
+        # shuffle=True matches the reference IAS pass (online thresholds see
+        # a random batch order, pseudo_label_generator.py:36)
+        return prefetched(
+            iter(
+                BatchIterator(
+                    dataset,
+                    cfg.pseudo_policy.batch_size,
+                    shuffle=True,
+                    seed=cfg.train.random_seed,
+                    drop_last=False,
+                )
+            ),
+            depth=2,
+        )
+
+    generator = PSEUDO_POLICY[cfg.pseudo_policy.type](
+        cfg, make_forward(cfg, segmentor, variables), data_iter_factory
+    )
+    generator.run()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+"""The 3-round self-training driver (reference code/train.sh).
+
+Round k: generate pseudo labels from round k-1's EMA checkpoint, then train
+the student resumed from round k-1's STUDENT checkpoint.  State crosses
+rounds via the filesystem only (checkpoints, pseudo-label PNG dir, stats
+files) — the same contract as the reference (SURVEY §3.5).
+
+    python -m hiast_tpu.cli.run_rounds --work_dir ../log/gtav-to-cityscapes/hiast \
+        --warmup_ckpt ../pretrained/resume_from.pth \
+        --warmup_pseudo_ckpt ../pretrained/pseudo_resume_from.pth
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+from hiast_tpu.cli import generate_pseudo_labels, train
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="hiast_tpu 3-round driver")
+    p.add_argument("--work_dir", required=True)
+    p.add_argument("--warmup_ckpt", required=True, help="student warmup checkpoint")
+    p.add_argument("--warmup_pseudo_ckpt", required=True, help="EMA/pseudo warmup checkpoint")
+    p.add_argument(
+        "--configs_dir",
+        default=os.path.join(os.path.dirname(os.path.dirname(__file__)), "configs"),
+    )
+    p.add_argument("--setting_file", default=None, help="defaults to hiast_setting.yaml")
+    p.add_argument("--rounds", type=int, default=3)
+    args = p.parse_args(argv)
+
+    setting = args.setting_file or os.path.join(args.configs_dir, "hiast_setting.yaml")
+    pseudo_ckpt = args.warmup_pseudo_ckpt
+    student_ckpt = args.warmup_ckpt
+
+    for k in range(1, args.rounds + 1):
+        cfg_file = os.path.join(args.configs_dir, f"sl_{k}.yaml")
+        round_dir = os.path.join(args.work_dir, f"sl_{k}")
+        pseudo_dir = os.path.join(round_dir, "pseudo_label", "gray_label")
+
+        generate_pseudo_labels.main([
+            "--config_file", cfg_file,
+            "--pseudo_resume_from", pseudo_ckpt,
+            "--pseudo_save_dir", pseudo_dir,
+        ])
+        train.main([
+            "--config_file", cfg_file,
+            "--setting_file", setting,
+            "--resume_from", student_ckpt,
+            "--pseudo_save_dir", pseudo_dir,
+            "--work_dir", round_dir,
+        ])
+
+        ckpt_dir = os.path.join(round_dir, "checkpoints")
+        pseudo_ckpt = os.path.join(ckpt_dir, "ema_model_last")
+        student_ckpt = os.path.join(ckpt_dir, "model_last")
+
+
+if __name__ == "__main__":
+    main()

@@ -25,6 +25,7 @@ def default_config() -> ConfigNode:
                     "type": "DeepLab_V2",
                     "output_dim": 256,  # embedding head dim
                     "pretrained": None,  # path to ImageNet R101 weights (.pth or .npz)
+                    "backbone_layers": [3, 4, 23, 3],  # ResNet-101 block depths
                 },
                 "predictor": {
                     "seg_loss": {

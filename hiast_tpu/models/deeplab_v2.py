@@ -106,6 +106,8 @@ def build_seg_model(cfg, dtype=jnp.float32, backbone_layers=None):
         output_dim=cfg.model.seg_model.output_dim,
         dtype=dtype,
     )
+    if backbone_layers is None and "backbone_layers" in cfg.model.seg_model:
+        backbone_layers = cfg.model.seg_model.backbone_layers
     if backbone_layers is not None:
         kwargs["backbone_layers"] = tuple(backbone_layers)
     return model_cls(**kwargs)

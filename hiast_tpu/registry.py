@@ -67,7 +67,7 @@ def populate() -> None:
         "hiast_tpu.models.segmentors",
         "hiast_tpu.data.datasets",
         "hiast_tpu.data.copy_paste",
-        "hiast_tpu.pseudo.policies",
+        "hiast_tpu.pseudo.generator",
         "hiast_tpu.selftrain.trainers",
     ):
         try:

@@ -1,0 +1,125 @@
+"""CLI-level end-to-end: a micro self-training round through the real entry
+points — generate_pseudo_labels -> train (consistency) — on a tiny PNG
+fixture with a tiny trunk.  Exercises config layering, dataset building,
+pseudo artifact contract, copy-paste wiring, training, checkpointing."""
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+RNG = np.random.default_rng(21)
+
+
+@pytest.fixture
+def fixture_root(tmp_path):
+    """A miniature Cityscapes-like target domain + val split."""
+    img_dir = tmp_path / "city"
+    os.makedirs(img_dir / "images")
+    train_manifest, val_manifest = [], []
+    for i in range(6):
+        img = RNG.integers(0, 255, size=(64, 128, 3)).astype(np.uint8)
+        lbl = RNG.integers(0, 19, size=(64, 128)).astype(np.uint8)
+        Image.fromarray(img).save(img_dir / "images" / f"t_{i}.png")
+        Image.fromarray(lbl, mode="L").save(img_dir / "images" / f"t_{i}_lbl.png")
+        entry = {"image_name": f"images/t_{i}.png", "mask_name": f"images/t_{i}_lbl.png"}
+        (train_manifest if i < 4 else val_manifest).append(entry)
+    (tmp_path / "cityscapes_train.json").write_text(json.dumps(train_manifest))
+    (tmp_path / "cityscapes_val.json").write_text(json.dumps(val_manifest))
+    return tmp_path
+
+
+def write_round_config(tmp_path, fixture_root):
+    cfg_yaml = f"""
+trainer: 'SelfTrainingTrainer'
+model:
+  type: 'SelfTrainingSegmentor'
+  seg_model:
+    backbone_layers: [1, 1, 1, 1]
+dataset:
+  num_classes: 19
+  crop_size: [32, 64]
+  target:
+    type: 'Cityscapes'
+    json_path: '{fixture_root}/cityscapes_train.json'
+    image_dir: '{fixture_root}/city'
+    aug_type: [ 'MS' ]
+  val:
+    type: 'Cityscapes'
+    json_path: '{fixture_root}/cityscapes_val.json'
+    image_dir: '{fixture_root}/city'
+    resize_size: [ 32, 64 ]
+pseudo_policy:
+  batch_size: 2
+  resize_size: [ 64, 128 ]
+  type: 'IAS'
+  ias:
+    alpha: 0.5
+    beta: 0.9
+    gamma: 8.0
+train:
+  batch_size: 4
+  lr: 1e-4
+  total_iter: 3
+  iter_report: 2
+  iter_val: 3
+validate:
+  batch_size: 2
+runtime:
+  precision:
+    compute_dtype: 'float32'
+"""
+    setting_yaml = """
+trainer: 'ConsistencySelfTrainingTrainer'
+dataset:
+  target:
+    aug_type: [ 'MS', 'CCA' ]
+cst_training:
+  is_enabled: True
+  cst_loss:
+    type: 'SoftCE'
+    weight: 0.5
+    region: 'ignored'
+preprocessor:
+  type: 'CopyPaste'
+  copy_paste:
+    selected_num_classes: 14
+"""
+    cfg_file = tmp_path / "round.yaml"
+    cfg_file.write_text(cfg_yaml)
+    setting_file = tmp_path / "setting.yaml"
+    setting_file.write_text(setting_yaml)
+    return str(cfg_file), str(setting_file)
+
+
+def test_micro_round_through_clis(fixture_root, tmp_path):
+    from hiast_tpu.cli import generate_pseudo_labels, train
+
+    cfg_file, setting_file = write_round_config(tmp_path, fixture_root)
+    work_dir = tmp_path / "log" / "sl_1"
+    pseudo_dir = work_dir / "pseudo_label" / "gray_label"
+
+    # 1) pseudo-label generation with IAS (random weights — contract test)
+    generate_pseudo_labels.main([
+        "--config_file", cfg_file,
+        "--pseudo_save_dir", str(pseudo_dir),
+        "pseudo_policy.num_hist_bins", "256",
+    ])
+    assert os.path.isdir(pseudo_dir)
+    assert len(os.listdir(pseudo_dir)) == 4
+    stats_dir = pseudo_dir.parent
+    assert (stats_dir / "samples_with_class.json").exists()
+    assert (stats_dir / "class_threshold.npy").exists()
+
+    # 2) HIAST consistency training round consuming those artifacts
+    train.main([
+        "--config_file", cfg_file,
+        "--setting_file", setting_file,
+        "--pseudo_save_dir", str(pseudo_dir),
+        "--work_dir", str(work_dir),
+    ])
+    ckpts = os.listdir(work_dir / "checkpoints")
+    assert "model_last" in ckpts and "ema_model_last" in ckpts
+    assert (work_dir / "config.yaml").exists()
+    assert (work_dir / "code.tar.gz").exists()
