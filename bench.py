@@ -1,0 +1,165 @@
+"""Benchmark: HIAST self-training step throughput on one TPU chip.
+
+Runs the FULL flagship train step — DeepLab-v2 ResNet-101 (bf16, NHWC),
+EMA-teacher forward, on-device CCA strong view, all HIAST losses, Adam
+update, EMA update — on synthetic 512x1024 batches, and the IAS
+pseudo-label generation pass at 768x1536, and prints ONE JSON line.
+
+vs_baseline: the reference repo publishes NO throughput numbers (SURVEY §6);
+the denominator used here is a DOCUMENTED ESTIMATE of the reference PyTorch
+loop: DeepLab-v2 R101 fp16(O1) train step at 512x1024 runs ~5 imgs/s per
+V100-class GPU (the reference's 2-GPU rig, code/utils/default_config.py:110).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_TRAIN_IMGS_PER_SEC_PER_GPU = 5.0  # documented estimate, see module docstring
+
+
+def _sync(x) -> float:
+    """Force a scalar D2H transfer — the only reliable sync on the tunneled
+    TPU platform (block_until_ready returns early there)."""
+    return float(np.asarray(x).ravel()[0])
+
+
+def bench_train_step(batch_size: int, iters: int = 20):
+    import jax
+    import jax.numpy as jnp
+
+    from hiast_tpu.config import default_config
+    from hiast_tpu.models.segmentors import build_segmentor
+    from hiast_tpu.registry import populate
+    from hiast_tpu.selftrain.steps import make_consistency_step
+    from hiast_tpu.selftrain.train_state import TrainState, make_optimizer
+
+    populate()
+    cfg = default_config()
+    cfg.model.type = "SelfTrainingSegmentor"
+    cfg.cst_training.is_enabled = True
+    cfg.cst_training.cst_loss.weight = 0.5
+    cfg.train.batch_size = batch_size
+    cfg.train.lr = 3e-6
+    cfg.train.total_iter = 8000
+
+    segmentor = build_segmentor(cfg, dtype=jnp.bfloat16)
+    h, w = 512, 1024
+    variables = segmentor.init_variables(jax.random.PRNGKey(0), (1, h, w, 3))
+    tx = make_optimizer(cfg, variables["params"])
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        ema_params=jax.tree.map(jnp.copy, variables["params"]),
+    )
+    rng = np.random.default_rng(0)
+    batch = {
+        "t_img": jnp.asarray(rng.integers(0, 255, size=(batch_size, h, w, 3), dtype=np.uint8)),
+        "t_plbl": jnp.asarray(
+            np.where(
+                rng.random(size=(batch_size, h, w)) < 0.4,
+                255,
+                rng.integers(0, 19, size=(batch_size, h, w)),
+            ).astype(np.int32)
+        ),
+    }
+    step = jax.jit(make_consistency_step(segmentor, tx, strong_aug="CCA"), donate_argnums=0)
+    key = jax.random.PRNGKey(1)
+
+    state, losses = step(state, batch, key)  # compile
+    _sync(losses["target_seg_loss"])
+    for _ in range(2):  # warm
+        state, losses = step(state, batch, key)
+    _sync(losses["target_seg_loss"])
+
+    t0 = time.time()
+    for _ in range(iters):
+        state, losses = step(state, batch, key)
+    _sync(losses["target_seg_loss"])
+    dt = (time.time() - t0) / iters
+    return batch_size / dt, dt
+
+
+def bench_pseudo_gen(batch_size: int = 4, iters: int = 10):
+    import jax
+    import jax.numpy as jnp
+
+    from hiast_tpu.config import default_config
+    from hiast_tpu.models.segmentors import build_segmentor
+    from hiast_tpu.pseudo import policies as P
+    from hiast_tpu.registry import populate
+    from hiast_tpu.selftrain.steps import normalize_image
+
+    populate()
+    cfg = default_config()
+    cfg.model.type = "SelfTrainingSegmentor"
+    segmentor = build_segmentor(cfg, dtype=jnp.bfloat16)
+    h, w = 768, 1536
+    variables = segmentor.init_variables(jax.random.PRNGKey(0), (1, h, w, 3))
+    variables = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+
+    @jax.jit
+    def gen_step(variables, images, state):
+        logits = segmentor.forward(variables, normalize_image(images), train=False)["logits"]
+        maxprob, pred = P.confidences(logits)
+        hist = P.class_prob_histogram(maxprob, pred, 19, 2048)
+        new_thr = P.ias_update(state, hist, 0.5, 0.9, 8.0)
+        plbl = P.select_pseudo_labels(maxprob, pred, new_thr)
+        counts = P.per_sample_class_counts(plbl, 19)
+        sums, totals = P.class_prob_sums(plbl, maxprob, 19)
+        new_cmp = P.update_class_mean_probs(state.class_mean_probs, sums, totals, 0.99)
+        return plbl.astype(jnp.uint8), counts, P.IASState(new_thr, new_cmp)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 255, size=(batch_size, h, w, 3), dtype=np.uint8))
+    state = P.IASState(jnp.full((19,), 0.9), jnp.zeros((19,)))
+
+    plbl, counts, state = gen_step(variables, images, state)
+    _sync(counts)
+    t0 = time.time()
+    for _ in range(iters):
+        plbl, counts, state = gen_step(variables, images, state)
+    _sync(counts)
+    dt = (time.time() - t0) / iters
+    return batch_size / dt, dt
+
+
+def main():
+    train_ips = None
+    for bs in (8, 4, 2):
+        try:
+            train_ips, train_dt = bench_train_step(bs)
+            train_bs = bs
+            break
+        except Exception as e:  # noqa: BLE001 - fall back on OOM
+            last_err = e
+    if train_ips is None:
+        raise last_err
+
+    pseudo_ips, pseudo_dt = bench_pseudo_gen()
+
+    print(
+        json.dumps(
+            {
+                "metric": "self-train imgs/sec/chip (HIAST consistency step, R101 512x1024 bf16)",
+                "value": round(train_ips, 2),
+                "unit": "imgs/sec/chip",
+                "vs_baseline": round(train_ips / REFERENCE_TRAIN_IMGS_PER_SEC_PER_GPU, 2),
+                "details": {
+                    "train_batch": train_bs,
+                    "train_s_per_iter": round(train_dt, 4),
+                    "pseudo_gen_imgs_per_sec": round(pseudo_ips, 2),
+                    "pseudo_gen_s_per_iter": round(pseudo_dt, 4),
+                    "baseline_note": "vs documented estimate of 5 imgs/s/GPU for the reference fp16 PyTorch loop",
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
