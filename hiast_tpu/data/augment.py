@@ -37,20 +37,19 @@ class GeometricAug:
     flip_p: float = 0.5
 
     def __call__(self, img: np.ndarray, lbl: np.ndarray, rng: np.random.Generator):
-        if rng.random() < self.flip_p:
-            img = img[:, ::-1]
-            lbl = lbl[:, ::-1]
+        from hiast_tpu.data.native_ops import crop_flip_resize
+
+        flip = bool(rng.random() < self.flip_p)
         h, w = img.shape[:2]
         crop_h = int(rng.integers(self.min_max_height[0], self.min_max_height[1] + 1))
         crop_h = min(crop_h, h)
         crop_w = min(int(round(crop_h * self.w2h_ratio)), w)
         y0 = int(rng.integers(0, h - crop_h + 1))
         x0 = int(rng.integers(0, w - crop_w + 1))
-        img = img[y0 : y0 + crop_h, x0 : x0 + crop_w]
-        lbl = lbl[y0 : y0 + crop_h, x0 : x0 + crop_w]
-        img = cv2.resize(img, (self.out_w, self.out_h), interpolation=cv2.INTER_LINEAR)
-        lbl = cv2.resize(lbl, (self.out_w, self.out_h), interpolation=cv2.INTER_NEAREST)
-        return np.ascontiguousarray(img), np.ascontiguousarray(lbl)
+        # fused crop+flip+resize: one C++ pass, no cropped intermediate
+        return crop_flip_resize(
+            img, lbl, y0, x0, crop_h, crop_w, flip, self.out_h, self.out_w
+        )
 
 
 @dataclass

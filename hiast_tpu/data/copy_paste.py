@@ -83,10 +83,11 @@ class CopyPaste:
             for c in self.hard_classes:
                 if c in selected_classes and c not in exist_classes:
                     exist_classes.append(int(c))
-            mask = self._hard_lut[d_lbl]
-            img[mask] = d_img[mask]
-            lbl[mask] = d_lbl[mask]
-            cp_mask[mask] = d_lbl[mask]
+            from hiast_tpu.data.native_ops import paste_hard_classes
+
+            paste_hard_classes(
+                img, lbl, cp_mask, d_img, d_lbl, self._hard_lut.astype(np.uint8)
+            )
 
             if len(exist_classes) >= len(self.hard_classes) * 0.5:
                 break

@@ -1,0 +1,124 @@
+"""ctypes bindings for the C++ host ops (native/hiast_host_ops.cc).
+
+Auto-builds the shared library on first import (g++ is part of the
+toolchain); every entry point has a numpy/cv2 fallback so the pipeline works
+without a compiler.  ctypes calls release the GIL, so prefetch threads
+overlap these with TPU steps.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "build", "libhiast_host_ops.so")
+
+_lib = None
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR, "-s"],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def get_lib():
+    global _lib
+    if _lib is not None:
+        return _lib or None
+    if not os.path.exists(_LIB_PATH) and not _build():
+        _lib = False
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.remap_u8.argtypes = [u8p, u8p, u8p, ctypes.c_int64]
+    lib.nearest_resize_u8.argtypes = [u8p] + [ctypes.c_int] * 3 + [u8p] + [ctypes.c_int] * 2
+    lib.bilinear_resize_u8.argtypes = lib.nearest_resize_u8.argtypes
+    lib.paste_hard_classes.argtypes = [u8p] * 6 + [ctypes.c_int64, ctypes.c_int]
+    lib.crop_flip_resize_u8.argtypes = [u8p] + [ctypes.c_int] * 8 + [u8p] + [ctypes.c_int] * 2
+    lib.crop_flip_resize_nearest_u8.argtypes = [u8p] + [ctypes.c_int] * 7 + [u8p] + [ctypes.c_int] * 2
+    _lib = lib
+    return lib
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def remap_u8(src: np.ndarray, lut: np.ndarray) -> np.ndarray:
+    lib = get_lib()
+    src = np.ascontiguousarray(src, np.uint8)
+    if lib is None:
+        return lut[src]
+    dst = np.empty_like(src)
+    lib.remap_u8(_ptr(src), _ptr(np.ascontiguousarray(lut, np.uint8)), _ptr(dst), src.size)
+    return dst
+
+
+def paste_hard_classes(
+    img: np.ndarray,
+    lbl: np.ndarray,
+    cp_mask: np.ndarray,
+    donor_img: np.ndarray,
+    donor_lbl: np.ndarray,
+    hard_lut: np.ndarray,
+) -> None:
+    """In-place fused HPA paste (see native/hiast_host_ops.cc)."""
+    lib = get_lib()
+    if lib is None:
+        mask = hard_lut.astype(bool)[donor_lbl]
+        img[mask] = donor_img[mask]
+        lbl[mask] = donor_lbl[mask]
+        cp_mask[mask] = donor_lbl[mask]
+        return
+    h, w = lbl.shape
+    lib.paste_hard_classes(
+        _ptr(img), _ptr(lbl), _ptr(cp_mask),
+        _ptr(np.ascontiguousarray(donor_img, np.uint8)),
+        _ptr(np.ascontiguousarray(donor_lbl, np.uint8)),
+        _ptr(np.ascontiguousarray(hard_lut, np.uint8)),
+        h * w, img.shape[2],
+    )
+
+
+def crop_flip_resize(
+    img: np.ndarray,
+    lbl: np.ndarray,
+    y0: int,
+    x0: int,
+    ch: int,
+    cw: int,
+    flip: bool,
+    oh: int,
+    ow: int,
+):
+    """Fused crop+flip+resize for an (image, label) pair."""
+    lib = get_lib()
+    if lib is None:
+        import cv2
+
+        ci = img[y0 : y0 + ch, x0 : x0 + cw]
+        cl = lbl[y0 : y0 + ch, x0 : x0 + cw]
+        if flip:
+            ci, cl = ci[:, ::-1], cl[:, ::-1]
+        oi = cv2.resize(ci, (ow, oh), interpolation=cv2.INTER_LINEAR)
+        ol = cv2.resize(cl, (ow, oh), interpolation=cv2.INTER_NEAREST)
+        return np.ascontiguousarray(oi), np.ascontiguousarray(ol)
+    img = np.ascontiguousarray(img, np.uint8)
+    lbl = np.ascontiguousarray(lbl, np.uint8)
+    oi = np.empty((oh, ow, img.shape[2]), np.uint8)
+    ol = np.empty((oh, ow), np.uint8)
+    h, w = lbl.shape
+    lib.crop_flip_resize_u8(_ptr(img), h, w, img.shape[2], y0, x0, ch, cw, int(flip), _ptr(oi), oh, ow)
+    lib.crop_flip_resize_nearest_u8(_ptr(lbl), h, w, y0, x0, ch, cw, int(flip), _ptr(ol), oh, ow)
+    return oi, ol

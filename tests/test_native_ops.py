@@ -1,0 +1,62 @@
+"""Native C++ host ops: build, bind, and match the numpy/cv2 fallbacks."""
+import numpy as np
+import pytest
+
+from hiast_tpu.data import native_ops
+
+RNG = np.random.default_rng(17)
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = native_ops.get_lib()
+    if lib is None:
+        pytest.skip("native lib unavailable (no compiler)")
+    return lib
+
+
+def test_remap_matches_numpy(lib):
+    src = RNG.integers(0, 256, size=(64, 96), dtype=np.uint8)
+    lut = RNG.integers(0, 256, size=256, dtype=np.uint8)
+    np.testing.assert_array_equal(native_ops.remap_u8(src, lut), lut[src])
+
+
+def test_paste_matches_numpy(lib):
+    h, w = 48, 64
+    img = RNG.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+    lbl = RNG.integers(0, 19, size=(h, w), dtype=np.uint8)
+    d_img = RNG.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+    d_lbl = RNG.integers(0, 19, size=(h, w), dtype=np.uint8)
+    hard_lut = np.zeros(256, np.uint8)
+    hard_lut[[1, 5, 7]] = 1
+
+    img_c, lbl_c, cp_c = img.copy(), lbl.copy(), np.full_like(lbl, 255)
+    native_ops.paste_hard_classes(img_c, lbl_c, cp_c, d_img, d_lbl, hard_lut)
+
+    mask = hard_lut.astype(bool)[d_lbl]
+    img_n, lbl_n, cp_n = img.copy(), lbl.copy(), np.full_like(lbl, 255)
+    img_n[mask] = d_img[mask]
+    lbl_n[mask] = d_lbl[mask]
+    cp_n[mask] = d_lbl[mask]
+    np.testing.assert_array_equal(img_c, img_n)
+    np.testing.assert_array_equal(lbl_c, lbl_n)
+    np.testing.assert_array_equal(cp_c, cp_n)
+
+
+def test_crop_flip_resize_close_to_cv2(lib):
+    import cv2
+
+    img = RNG.integers(0, 255, size=(96, 128, 3), dtype=np.uint8)
+    lbl = RNG.integers(0, 19, size=(96, 128), dtype=np.uint8)
+    y0, x0, ch, cw = 10, 20, 60, 80
+    for flip in (False, True):
+        oi, ol = native_ops.crop_flip_resize(img, lbl, y0, x0, ch, cw, flip, 32, 64)
+        ci = img[y0 : y0 + ch, x0 : x0 + cw]
+        cl = lbl[y0 : y0 + ch, x0 : x0 + cw]
+        if flip:
+            ci, cl = ci[:, ::-1], cl[:, ::-1]
+        want_i = cv2.resize(ci, (64, 32), interpolation=cv2.INTER_LINEAR)
+        want_l = cv2.resize(cl, (64, 32), interpolation=cv2.INTER_NEAREST)
+        # bilinear: allow +-2 from rounding differences vs cv2 fixed-point
+        assert np.abs(oi.astype(int) - want_i.astype(int)).max() <= 2
+        np.testing.assert_array_equal(ol, want_l)
