@@ -102,12 +102,19 @@ def bench_pseudo_gen(batch_size: int = 4, iters: int = 10):
     variables = segmentor.init_variables(jax.random.PRNGKey(0), (1, h, w, 3))
     variables = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
 
+    from hiast_tpu.ops.resize import bilinear_resize
+
     @jax.jit
     def gen_step(variables, images, state):
-        logits = segmentor.forward(variables, normalize_image(images), train=False)["logits"]
-        maxprob, pred = P.confidences(logits)
-        hist = P.class_prob_histogram(maxprob, pred, 19, 2048)
+        img = normalize_image(images)
+        out = segmentor.module.apply(variables, img.astype(jnp.bfloat16), train=False)
+        low = out["logits"].astype(jnp.float32)
+        full = bilinear_resize(low, images.shape[1], images.shape[2])
+        # thresholds from the OS8 stats grid; selection at full res
+        s_maxprob, s_pred = P.confidences(low)
+        hist = P.class_prob_histogram(s_maxprob, s_pred, 19, 2048)
         new_thr = P.ias_update(state, hist, 0.5, 0.9, 8.0)
+        maxprob, pred = P.confidences(full)
         plbl = P.select_pseudo_labels(maxprob, pred, new_thr)
         counts = P.per_sample_class_counts(plbl, 19)
         sums, totals = P.class_prob_sums(plbl, maxprob, 19)

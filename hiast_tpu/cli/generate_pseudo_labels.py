@@ -19,12 +19,21 @@ from hiast_tpu.utils.checkpoint import load_weights
 
 
 def make_forward(cfg, segmentor, variables):
-    """uint8 [B,H,W,3] -> full-res fp32 logits, one jit'd program."""
+    """uint8 [B,H,W,3] -> {'full': full-res fp32 logits, 'low': OS8 logits}.
+
+    The 'low' grid feeds threshold statistics (see pseudo/generator.py);
+    'full' feeds the per-pixel selection.
+    """
+    from hiast_tpu.ops.resize import bilinear_resize
 
     @jax.jit
     def forward(images):
-        img = normalize_image(jnp.asarray(images))
-        return segmentor.forward(variables, img, train=False)["logits"]
+        images = jnp.asarray(images)
+        img = normalize_image(images)
+        out = segmentor.module.apply(variables, img.astype(segmentor.dtype), train=False)
+        low = out["logits"].astype(jnp.float32)
+        full = bilinear_resize(low, images.shape[1], images.shape[2])
+        return {"full": full, "low": low}
 
     return forward
 

@@ -41,8 +41,14 @@ def _write_gray_png(path: str, arr: np.ndarray) -> None:
 class BasePseudoGenerator:
     """Drives batches through a jit'd selection step and writes artifacts.
 
-    ``forward_fn(images_uint8) -> logits [B, H, W, C] fp32`` encapsulates the
-    model (already closed over params/batch_stats, jit-ready).
+    ``forward_fn(images_uint8)`` encapsulates the model (already closed over
+    params/batch_stats, jit-ready) and returns either full-res logits
+    [B, H, W, C] fp32 or a dict {'full': ..., 'low': ...} where 'low' is the
+    pre-upsample OS8 logits grid.  Threshold statistics run on 'low' when
+    available and ``pseudo_policy.stats_source == 'low'`` (64x fewer pixels;
+    the full-res probabilities are bilinear interpolations of these, so the
+    per-class quantiles are statistically equivalent) — the TPU redesign of
+    the reference's full-res host-side histogramming.
     ``data_iter`` yields {'images': uint8 [B,H,W,3], 'image_paths': [str]}.
     """
 
@@ -61,6 +67,17 @@ class BasePseudoGenerator:
         self.samples_class: dict[int, list] = {c: [] for c in range(self.num_classes)}
         self.class_mean_probs = np.zeros(self.num_classes, np.float32)
         self.class_threshold: np.ndarray | None = None
+
+    def _forward(self, images):
+        """Normalize forward_fn output to (logits_full, logits_stats)."""
+        out = self.forward_fn(images)
+        if isinstance(out, dict):
+            full = out["full"]
+            low = out.get("low", full)
+        else:
+            full = low = out
+        use_low = self.cfg.pseudo_policy.stats_source == "low"
+        return full, (low if use_low else full)
 
     # -- jit'd batch programs ----------------------------------------------
     @partial(jax.jit, static_argnums=0)
@@ -134,7 +151,7 @@ class ConstantThresholdGenerator(BasePseudoGenerator):
         thresholds = self.initial_thresholds()
         cmp = jnp.asarray(self.class_mean_probs)
         for batch in self.data_iter_factory():
-            logits = self.forward_fn(batch["images"])
+            logits, _ = self._forward(batch["images"])
             plbl, counts, cmp = self._select_step(logits, thresholds, cmp)
             self._record_batch(np.asarray(plbl), np.asarray(counts), batch["image_paths"])
         self.class_mean_probs = np.asarray(cmp)
@@ -156,8 +173,8 @@ class CBSTGenerator(ConstantThresholdGenerator):
     def initial_thresholds(self):
         hist = jnp.zeros((self.num_classes, self.num_bins), jnp.float32)
         for batch in self.data_iter_factory():
-            logits = self.forward_fn(batch["images"])
-            hist = hist + self._hist_step(logits)
+            _, stats_logits = self._forward(batch["images"])
+            hist = hist + self._hist_step(stats_logits)
         return P.cbst_thresholds(hist, self.cfg.pseudo_policy.cbst.p)
 
 
@@ -167,14 +184,25 @@ class IASGenerator(BasePseudoGenerator):
     per batch BEFORE selection (reference pseudo_label_generator.py:181-213)."""
 
     @partial(jax.jit, static_argnums=0)
-    def _ias_step(self, logits, state: P.IASState):
-        maxprob, pred = P.confidences(logits)
-        hist = P.class_prob_histogram(maxprob, pred, self.num_classes, self.num_bins)
+    def _ias_step(self, logits_full, logits_stats, state: P.IASState):
+        # thresholds from the stats grid (OS8 by default), selection at full res
+        stats_maxprob, stats_pred = P.confidences(logits_stats)
+        hist = P.class_prob_histogram(
+            stats_maxprob, stats_pred, self.num_classes, self.num_bins
+        )
         ias = self.cfg.pseudo_policy.ias
         new_thr = P.ias_update(state, hist, ias.alpha, ias.beta, ias.gamma)
-        plbl = P.select_pseudo_labels(maxprob, pred, new_thr)
-        counts = P.per_sample_class_counts(plbl, self.num_classes)
-        sums, totals = P.class_prob_sums(plbl, maxprob, self.num_classes)
+        if self.cfg.pseudo_policy.use_pallas_select:
+            from hiast_tpu.ops.pallas.select_kernel import fused_select_batched
+
+            plbl, maxprob, counts, sums, totals = fused_select_batched(
+                logits_full, new_thr
+            )
+        else:
+            maxprob, pred = P.confidences(logits_full)
+            plbl = P.select_pseudo_labels(maxprob, pred, new_thr)
+            counts = P.per_sample_class_counts(plbl, self.num_classes)
+            sums, totals = P.class_prob_sums(plbl, maxprob, self.num_classes)
         new_cmp = P.update_class_mean_probs(
             state.class_mean_probs, sums, totals, self.cfg.preprocessor.copy_paste.gamma
         )
@@ -187,8 +215,8 @@ class IASGenerator(BasePseudoGenerator):
             class_mean_probs=jnp.zeros((self.num_classes,), jnp.float32),
         )
         for batch in self.data_iter_factory():
-            logits = self.forward_fn(batch["images"])
-            plbl, counts, state = self._ias_step(logits, state)
+            full, stats_logits = self._forward(batch["images"])
+            plbl, counts, state = self._ias_step(full, stats_logits, state)
             self._record_batch(np.asarray(plbl), np.asarray(counts), batch["image_paths"])
         self.class_threshold = np.asarray(state.thresholds)
         self.class_mean_probs = np.asarray(state.class_mean_probs)

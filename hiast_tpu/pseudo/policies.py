@@ -127,12 +127,16 @@ def per_sample_class_counts(plbl: jnp.ndarray, num_classes: int) -> jnp.ndarray:
 def class_prob_sums(
     plbl: jnp.ndarray, maxprob: jnp.ndarray, num_classes: int
 ):
-    """Per-class (sum of confidences, count) over SELECTED pixels."""
+    """Per-class (sum of confidences, count) over SELECTED pixels.
+
+    Reductions stay in the native [..., C] layout — flattening to [N, C]
+    first would force a costly relayout on TPU.
+    """
     classes = jnp.arange(num_classes, dtype=plbl.dtype)
     onehot = (plbl[..., None] == classes).astype(jnp.float32)
-    flat_oh = onehot.reshape(-1, num_classes)
-    sums = flat_oh.T @ maxprob.reshape(-1).astype(jnp.float32)
-    counts = jnp.sum(flat_oh, axis=0)
+    axes = tuple(range(plbl.ndim))
+    sums = jnp.sum(onehot * maxprob[..., None].astype(jnp.float32), axis=axes)
+    counts = jnp.sum(onehot, axis=axes)
     return sums, counts
 
 
