@@ -135,11 +135,31 @@ def bench_pseudo_gen(batch_size: int = 4, iters: int = 10):
     return batch_size / dt, dt
 
 
+def _run_in_subprocess(fn_name: str, *args):
+    """Each benchmark in its own process: the train step's donated HBM
+    buffers and jit cache otherwise degrade the pseudo-gen measurement."""
+    import subprocess
+    import sys
+
+    code = (
+        "import json, bench; "
+        f"r = bench.{fn_name}(*{args!r}); "
+        "print('BENCH_RESULT ' + json.dumps(list(r)))"
+    )
+    out = subprocess.run(
+        [sys.executable, "-u", "-c", code], capture_output=True, text=True, timeout=1200
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("BENCH_RESULT "):
+            return json.loads(line[len("BENCH_RESULT "):])
+    raise RuntimeError(f"{fn_name} failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
 def main():
     train_ips = None
     for bs in (8, 4, 2):
         try:
-            train_ips, train_dt = bench_train_step(bs)
+            train_ips, train_dt = _run_in_subprocess("bench_train_step", bs)
             train_bs = bs
             break
         except Exception as e:  # noqa: BLE001 - fall back on OOM
@@ -147,7 +167,7 @@ def main():
     if train_ips is None:
         raise last_err
 
-    pseudo_ips, pseudo_dt = bench_pseudo_gen()
+    pseudo_ips, pseudo_dt = _run_in_subprocess("bench_pseudo_gen")
 
     print(
         json.dumps(
