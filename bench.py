@@ -30,6 +30,10 @@ def bench_train_step(batch_size: int, iters: int = 20):
     import jax
     import jax.numpy as jnp
 
+    from hiast_tpu.runtime_init import init_runtime
+
+    init_runtime()
+
     from hiast_tpu.config import default_config
     from hiast_tpu.models.segmentors import build_segmentor
     from hiast_tpu.registry import populate
@@ -74,12 +78,14 @@ def bench_train_step(batch_size: int, iters: int = 20):
     _sync(losses["target_seg_loss"])
     for _ in range(2):  # warm
         state, losses = step(state, batch, key)
-    _sync(losses["target_seg_loss"])
+        _sync(losses["target_seg_loss"])
 
+    # fetch the loss every iteration: the training loop does (recorder), and
+    # un-fetched outputs queue pathologically on the tunneled platform
     t0 = time.time()
     for _ in range(iters):
         state, losses = step(state, batch, key)
-    _sync(losses["target_seg_loss"])
+        _sync(losses["target_seg_loss"])
     dt = (time.time() - t0) / iters
     return batch_size / dt, dt
 
@@ -87,6 +93,10 @@ def bench_train_step(batch_size: int, iters: int = 20):
 def bench_pseudo_gen(batch_size: int = 4, iters: int = 10):
     import jax
     import jax.numpy as jnp
+
+    from hiast_tpu.runtime_init import init_runtime
+
+    init_runtime()
 
     from hiast_tpu.config import default_config
     from hiast_tpu.models.segmentors import build_segmentor
@@ -126,11 +136,15 @@ def bench_pseudo_gen(batch_size: int = 4, iters: int = 10):
     state = P.IASState(jnp.full((19,), 0.9), jnp.zeros((19,)))
 
     plbl, counts, state = gen_step(variables, images, state)
-    _sync(counts)
+    np.asarray(plbl)
+    # production fetches the label maps every batch (PNG writing) — do the
+    # same here; it is also what keeps the tunneled platform's transfer
+    # queue drained
     t0 = time.time()
     for _ in range(iters):
         plbl, counts, state = gen_step(variables, images, state)
-    _sync(counts)
+        np.asarray(plbl)
+        np.asarray(counts)
     dt = (time.time() - t0) / iters
     return batch_size / dt, dt
 

@@ -25,6 +25,9 @@ def standard_parser(description: str) -> argparse.ArgumentParser:
 
 
 def build_cfg(args):
+    from hiast_tpu.runtime_init import init_runtime
+
+    init_runtime()
     populate()
     cfg = load_config(args.config_file, args.setting_file, freeze=False)
     cfg = apply_cli_overrides(cfg, args)

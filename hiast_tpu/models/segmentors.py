@@ -97,6 +97,22 @@ class SelfTrainingSegmentor(BaseSegmentor):
             )
         return losses
 
+    def compute_mutual_loss(self, t_logits, t_plbl, t_mut_lbl):
+        """Mutual-learning consistency against a peer model's soft target
+        (the reference's latent ``mut_training`` surface,
+        self_training_segmentor.py:55-61 / default_config.py:159-167)."""
+        cfg = self.cfg
+        losses = {}
+        if cfg.mut_training.is_enabled and cfg.mut_training.mut_loss.weight > 0:
+            mut_loss_fn = LOSS[cfg.cst_training.cst_loss.type]
+            losses["mut_loss"] = cfg.mut_training.mut_loss.weight * mut_loss_fn(
+                t_logits,
+                t_mut_lbl,
+                refer_labels=t_plbl,
+                region=cfg.mut_training.mut_loss.region,
+            )
+        return losses
+
 
 @MODEL.register("AdversarialWarmupSegmentor")
 class AdversarialWarmupSegmentor(BaseSegmentor):
