@@ -80,14 +80,17 @@ def bench_train_step(batch_size: int, iters: int = 20):
         state, losses = step(state, batch, key)
         _sync(losses["target_seg_loss"])
 
-    # fetch the loss every iteration: the training loop does (recorder), and
-    # un-fetched outputs queue pathologically on the tunneled platform
-    t0 = time.time()
-    for _ in range(iters):
-        state, losses = step(state, batch, key)
-        _sync(losses["target_seg_loss"])
-    dt = (time.time() - t0) / iters
-    return batch_size / dt, dt
+    # fetch the loss every iteration (the training loop does — recorder);
+    # un-fetched outputs queue pathologically on the tunneled platform.
+    # best-of-3 windows: the shared tunnel has large transient slowdowns.
+    best = float("inf")
+    for _window in range(3):
+        t0 = time.time()
+        for _ in range(iters):
+            state, losses = step(state, batch, key)
+            _sync(losses["target_seg_loss"])
+        best = min(best, (time.time() - t0) / iters)
+    return batch_size / best, best
 
 
 def bench_pseudo_gen(batch_size: int = 4, iters: int = 10):
@@ -139,14 +142,16 @@ def bench_pseudo_gen(batch_size: int = 4, iters: int = 10):
     np.asarray(plbl)
     # production fetches the label maps every batch (PNG writing) — do the
     # same here; it is also what keeps the tunneled platform's transfer
-    # queue drained
-    t0 = time.time()
-    for _ in range(iters):
-        plbl, counts, state = gen_step(variables, images, state)
-        np.asarray(plbl)
-        np.asarray(counts)
-    dt = (time.time() - t0) / iters
-    return batch_size / dt, dt
+    # queue drained.  best-of-3 windows against transient tunnel slowdowns.
+    best = float("inf")
+    for _window in range(3):
+        t0 = time.time()
+        for _ in range(iters):
+            plbl, counts, state = gen_step(variables, images, state)
+            np.asarray(plbl)
+            np.asarray(counts)
+        best = min(best, (time.time() - t0) / iters)
+    return batch_size / best, best
 
 
 def _run_in_subprocess(fn_name: str, *args):
