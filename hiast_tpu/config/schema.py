@@ -118,6 +118,12 @@ def default_config() -> ConfigNode:
                 "total_iter": 10000,
                 "iter_report": 100,
                 "iter_val": 400,
+                # where the losses are computed: 'full' upsamples logits to
+                # input resolution first (exact reference semantics,
+                # self_training_segmentor.py:27); 'os8' computes them on the
+                # stride-8 logits grid against nearest-downsampled labels
+                # (~25% faster per step, statistically equivalent objective).
+                "loss_resolution": "full",
                 "lr_scheduler": {
                     "type": "Cosine",  # 'Cosine', 'Poly'
                     "poly": {"power": 0.9},

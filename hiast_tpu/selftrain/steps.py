@@ -43,6 +43,34 @@ def _total_loss(losses: dict) -> jnp.ndarray:
     return sum(v for k, v in losses.items() if "D_" not in k)
 
 
+def _loss_grid(segmentor):
+    """('full' | 'os8', label-downsample fn) per cfg.train.loss_resolution."""
+    res = segmentor.cfg.train.loss_resolution
+    assert res in ("full", "os8"), res
+    return res
+
+
+def _forward_for_loss(segmentor, variables, img, train, mutable=False):
+    """Model forward returning logits at the configured loss resolution."""
+    if _loss_grid(segmentor) == "full":
+        return segmentor.forward(variables, img, train=train, mutable=mutable)
+    out = segmentor.module.apply(
+        variables, img.astype(segmentor.dtype), train=train, mutable=mutable
+    )
+    if mutable:
+        out, new_state = out
+    result = {"logits": out["logits"].astype(jnp.float32), "backbone": out["backbone"]}
+    return (result, new_state) if mutable else result
+
+
+def _labels_for_loss(segmentor, lbl, img_shape):
+    from hiast_tpu.ops.resize import nearest_resize
+
+    if _loss_grid(segmentor) == "full":
+        return lbl
+    return nearest_resize(lbl, img_shape[1] // 8, img_shape[2] // 8)
+
+
 def _apply_updates(state: TrainState, tx, grads, losses, new_batch_stats) -> TrainState:
     updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
     new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
@@ -81,13 +109,15 @@ def make_source_only_step(segmentor, tx) -> Callable:
 def make_self_training_step(segmentor, tx) -> Callable:
     def step(state: TrainState, batch, rng):
         img = normalize_image(batch["t_img"])
+        plbl = _labels_for_loss(segmentor, batch["t_plbl"], batch["t_img"].shape)
 
         def loss_fn(params):
-            out, new_model = segmentor.forward(
+            out, new_model = _forward_for_loss(
+                segmentor,
                 {"params": params, "batch_stats": state.batch_stats},
                 img, train=True, mutable=["batch_stats"],
             )
-            losses = segmentor.compute_loss(out["logits"], batch["t_plbl"])
+            losses = segmentor.compute_loss(out["logits"], plbl)
             return _total_loss(losses), (losses, new_model["batch_stats"])
 
         grads, (losses, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)
@@ -114,10 +144,11 @@ def make_consistency_step(segmentor, tx, strong_aug: str | None = "CCA") -> Call
             strong_raw = batch.get("t_img_strong", weak_raw).astype(jnp.float32)
         weak = normalize_image(weak_raw)
         strong = normalize_image(strong_raw)
-        plbl = batch["t_plbl"]
+        plbl = _labels_for_loss(segmentor, batch["t_plbl"], batch["t_img"].shape)
 
         # EMA teacher forward (eval mode, running stats; reference :113-119)
-        t_weak_logits = segmentor.forward(
+        t_weak_logits = _forward_for_loss(
+            segmentor,
             {"params": state.ema_params, "batch_stats": state.batch_stats},
             weak, train=False,
         )["logits"]
@@ -128,7 +159,8 @@ def make_consistency_step(segmentor, tx, strong_aug: str | None = "CCA") -> Call
         cst_lbl = jax.lax.stop_gradient(cst_lbl)
 
         def loss_fn(params):
-            out, new_model = segmentor.forward(
+            out, new_model = _forward_for_loss(
+                segmentor,
                 {"params": params, "batch_stats": state.batch_stats},
                 strong, train=True, mutable=["batch_stats"],
             )

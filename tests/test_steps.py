@@ -241,3 +241,26 @@ class TestLRSchedule:
 
         fn = lr_schedule(cfg)
         assert abs(float(fn(50)) - 1e-4 * (1 - 0.5) ** 0.9) < 1e-12
+
+
+class TestLossResolution:
+    def test_os8_step_runs(self):
+        cfg = tiny_cfg(**{"train.loss_resolution": "os8"})
+        segmentor = build_segmentor(cfg, dtype=jnp.float32, backbone_layers=TINY)
+        state, tx, _ = init_state(cfg, segmentor)
+        step = jax.jit(make_self_training_step(segmentor, tx))
+        _, losses = step(state, make_batch(), jax.random.PRNGKey(0))
+        for k, v in losses.items():
+            assert np.isfinite(float(v)), k
+
+    def test_os8_consistency_step_runs(self):
+        cfg = tiny_cfg(**{
+            "train.loss_resolution": "os8",
+            "cst_training.is_enabled": True,
+            "cst_training.cst_loss.weight": 0.5,
+        })
+        segmentor = build_segmentor(cfg, dtype=jnp.float32, backbone_layers=TINY)
+        state, tx, _ = init_state(cfg, segmentor, with_ema=True)
+        step = jax.jit(make_consistency_step(segmentor, tx, strong_aug="CCA"))
+        _, losses = step(state, make_batch(), jax.random.PRNGKey(0))
+        assert np.isfinite(float(losses["cst_loss"]))
