@@ -1,0 +1,213 @@
+"""SegFormer (Mix Transformer) segmentation models, Flax / NHWC.
+
+The modern-ViT stretch goal named in BASELINE.json ("SegFormer MiT-B5
+backbone"): hierarchical Mix-Transformer encoder (overlapping patch embeds,
+spatial-reduction attention, Mix-FFN with a depthwise conv) + the all-MLP
+SegFormer decode head producing stride-4 logits.
+
+TPU notes: attention runs over (H/stride * W/stride) tokens with
+spatial-reduction ratios (8,4,2,1), so sequence lengths stay modest (at
+768x1536 input, stage 1 is 73k tokens with K/V reduced 64x) — standard
+`jnp.einsum` attention maps straight onto the MXU; no custom kernels or
+sequence parallelism needed (SURVEY §5.7).
+
+Variants: B0..B5 via (embed_dims, depths).  Registered as
+SEG_MODEL['SegFormer_B5'] etc., drop-in for DeepLab_V2 in any config
+(`model.seg_model.type: 'SegFormer_B5'`).
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from hiast_tpu.registry import SEG_MODEL
+
+LN_EPS = 1e-6
+
+VARIANTS = {
+    # embed_dims, depths
+    "B0": ((32, 64, 160, 256), (2, 2, 2, 2)),
+    "B1": ((64, 128, 320, 512), (2, 2, 2, 2)),
+    "B2": ((64, 128, 320, 512), (3, 4, 6, 3)),
+    "B3": ((64, 128, 320, 512), (3, 4, 18, 3)),
+    "B4": ((64, 128, 320, 512), (3, 8, 27, 3)),
+    "B5": ((64, 128, 320, 512), (3, 6, 40, 3)),
+}
+NUM_HEADS = (1, 2, 5, 8)
+SR_RATIOS = (8, 4, 2, 1)
+MLP_RATIOS = (4, 4, 4, 4)
+
+
+class OverlapPatchEmbed(nn.Module):
+    dim: int
+    patch: int
+    stride: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.patch // 2
+        x = nn.Conv(
+            self.dim, (self.patch, self.patch), strides=(self.stride, self.stride),
+            padding=((p, p), (p, p)), dtype=self.dtype, name="proj",
+        )(x)
+        return nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm")(x)
+
+
+class EfficientAttention(nn.Module):
+    """Self-attention with spatially-reduced K/V (SegFormer's SRA)."""
+
+    dim: int
+    heads: int
+    sr: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        head_dim = self.dim // self.heads
+        q = nn.Dense(self.dim, dtype=self.dtype, name="q")(x).reshape(
+            b, h * w, self.heads, head_dim
+        )
+        kv_in = x
+        if self.sr > 1:
+            kv_in = nn.Conv(
+                self.dim, (self.sr, self.sr), strides=(self.sr, self.sr),
+                dtype=self.dtype, name="sr",
+            )(x)
+            kv_in = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="sr_norm")(kv_in)
+        n_kv = kv_in.shape[1] * kv_in.shape[2]
+        k = nn.Dense(self.dim, dtype=self.dtype, name="k")(kv_in).reshape(
+            b, n_kv, self.heads, head_dim
+        )
+        v = nn.Dense(self.dim, dtype=self.dtype, name="v")(kv_in).reshape(
+            b, n_kv, self.heads, head_dim
+        )
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        attn = nn.softmax(attn * (1.0 / head_dim**0.5), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, h, w, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
+class MixFFN(nn.Module):
+    dim: int
+    ratio: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = self.dim * self.ratio
+        y = nn.Dense(hidden, dtype=self.dtype, name="fc1")(x)
+        # depthwise 3x3 conv mixes local position information (the "Mix")
+        y = nn.Conv(
+            hidden, (3, 3), padding=((1, 1), (1, 1)), feature_group_count=hidden,
+            dtype=self.dtype, name="dwconv",
+        )(y)
+        y = nn.gelu(y)
+        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(y)
+
+
+class MiTBlock(nn.Module):
+    dim: int
+    heads: int
+    sr: int
+    ratio: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(x)
+        x = x + EfficientAttention(
+            self.dim, self.heads, self.sr, dtype=self.dtype, name="attn"
+        )(y)
+        y = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(x)
+        return x + MixFFN(self.dim, self.ratio, dtype=self.dtype, name="ffn")(y)
+
+
+class MixTransformer(nn.Module):
+    embed_dims: Sequence[int]
+    depths: Sequence[int]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        feats = []
+        for s in range(4):
+            patch, stride = (7, 4) if s == 0 else (3, 2)
+            x = OverlapPatchEmbed(
+                self.embed_dims[s], patch, stride, dtype=self.dtype, name=f"patch_embed{s + 1}"
+            )(x)
+            for b in range(self.depths[s]):
+                x = MiTBlock(
+                    self.embed_dims[s], NUM_HEADS[s], SR_RATIOS[s], MLP_RATIOS[s],
+                    dtype=self.dtype, name=f"block{s + 1}_{b}",
+                )(x)
+            x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name=f"norm{s + 1}")(x)
+            feats.append(x)
+        return feats  # strides 4, 8, 16, 32
+
+
+class SegFormerHead(nn.Module):
+    """All-MLP decode head: per-stage projection -> upsample to 1/4 ->
+    concat -> fuse -> classify."""
+
+    num_classes: int
+    embed_dim: int = 768
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        from hiast_tpu.ops.resize import bilinear_resize
+
+        h, w = feats[0].shape[1], feats[0].shape[2]
+        proj = []
+        for i, f in enumerate(feats):
+            y = nn.Dense(self.embed_dim, dtype=self.dtype, name=f"linear_c{i + 1}")(f)
+            if y.shape[1] != h or y.shape[2] != w:
+                y = bilinear_resize(y, h, w, align_corners=False)
+            proj.append(y)
+        x = jnp.concatenate(proj[::-1], axis=-1)
+        x = nn.Conv(self.embed_dim, (1, 1), use_bias=False, dtype=self.dtype, name="fuse")(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="fuse_bn",
+        )(x)
+        x = nn.relu(x)
+        return nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="classifier")(x)
+
+
+class SegFormer(nn.Module):
+    """Full model with the seg_model interface ({'logits','backbone'})."""
+
+    num_classes: int = 19
+    variant: str = "B5"
+    output_dim: int = 256  # interface parity; unused
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, bn_axis_name=None, return_representation=False):
+        embed_dims, depths = VARIANTS[self.variant]
+        feats = MixTransformer(embed_dims, depths, dtype=self.dtype, name="backbone")(x)
+        head_dim = 256 if self.variant in ("B0",) else 768
+        logits = SegFormerHead(
+            self.num_classes, embed_dim=head_dim, dtype=self.dtype, name="decode_head"
+        )(feats, train=train)
+        out = {"logits": logits, "backbone": feats[-1]}
+        if return_representation:
+            out["representation"] = feats[-1]
+        return out
+
+
+def _make_variant_factory(variant: str):
+    def factory(num_classes=19, output_dim=256, dtype=jnp.float32, **_ignored):
+        return SegFormer(
+            num_classes=num_classes, variant=variant, output_dim=output_dim, dtype=dtype
+        )
+
+    return factory
+
+
+for _variant in VARIANTS:
+    SEG_MODEL.register(f"SegFormer_{_variant}", _make_variant_factory(_variant))

@@ -63,12 +63,14 @@ def _forward_for_loss(segmentor, variables, img, train, mutable=False):
     return (result, new_state) if mutable else result
 
 
-def _labels_for_loss(segmentor, lbl, img_shape):
+def _labels_for_loss(segmentor, lbl, logits):
+    """Match label resolution to the loss grid (logits may be stride 8 for
+    DeepLab or stride 4 for SegFormer)."""
     from hiast_tpu.ops.resize import nearest_resize
 
     if _loss_grid(segmentor) == "full":
         return lbl
-    return nearest_resize(lbl, img_shape[1] // 8, img_shape[2] // 8)
+    return nearest_resize(lbl, logits.shape[1], logits.shape[2])
 
 
 def _apply_updates(state: TrainState, tx, grads, losses, new_batch_stats) -> TrainState:
@@ -109,7 +111,6 @@ def make_source_only_step(segmentor, tx) -> Callable:
 def make_self_training_step(segmentor, tx) -> Callable:
     def step(state: TrainState, batch, rng):
         img = normalize_image(batch["t_img"])
-        plbl = _labels_for_loss(segmentor, batch["t_plbl"], batch["t_img"].shape)
 
         def loss_fn(params):
             out, new_model = _forward_for_loss(
@@ -117,6 +118,7 @@ def make_self_training_step(segmentor, tx) -> Callable:
                 {"params": params, "batch_stats": state.batch_stats},
                 img, train=True, mutable=["batch_stats"],
             )
+            plbl = _labels_for_loss(segmentor, batch["t_plbl"], out["logits"])
             losses = segmentor.compute_loss(out["logits"], plbl)
             return _total_loss(losses), (losses, new_model["batch_stats"])
 
@@ -144,7 +146,6 @@ def make_consistency_step(segmentor, tx, strong_aug: str | None = "CCA") -> Call
             strong_raw = batch.get("t_img_strong", weak_raw).astype(jnp.float32)
         weak = normalize_image(weak_raw)
         strong = normalize_image(strong_raw)
-        plbl = _labels_for_loss(segmentor, batch["t_plbl"], batch["t_img"].shape)
 
         # EMA teacher forward (eval mode, running stats; reference :113-119)
         t_weak_logits = _forward_for_loss(
@@ -152,6 +153,7 @@ def make_consistency_step(segmentor, tx, strong_aug: str | None = "CCA") -> Call
             {"params": state.ema_params, "batch_stats": state.batch_stats},
             weak, train=False,
         )["logits"]
+        plbl = _labels_for_loss(segmentor, batch["t_plbl"], t_weak_logits)
         if hard_teacher:
             cst_lbl = jnp.argmax(t_weak_logits, axis=-1)
         else:

@@ -165,3 +165,46 @@ def test_full_resnet101_param_count():
     )
     n = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(variables["params"]))
     assert 42_000_000 < n < 45_000_000, n
+
+
+class TestSegFormer:
+    def test_b0_forward_shapes(self):
+        from hiast_tpu.registry import SEG_MODEL, populate
+
+        populate()
+        model = SEG_MODEL["SegFormer_B0"](num_classes=19)
+        x = jnp.zeros((1, 64, 128, 3))
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        out = model.apply(variables, x, train=False)
+        assert out["logits"].shape == (1, 16, 32, 19)  # stride 4
+        assert out["backbone"].shape == (1, 2, 4, 256)  # stride 32
+
+    def test_b0_trains_in_self_training_step(self):
+        from hiast_tpu.config import default_config
+        from hiast_tpu.models.segmentors import build_segmentor
+        from hiast_tpu.selftrain.steps import make_self_training_step
+        from hiast_tpu.selftrain.train_state import TrainState, make_optimizer
+        from hiast_tpu.registry import populate
+
+        populate()
+        cfg = default_config()
+        cfg.model.type = "SelfTrainingSegmentor"
+        cfg.model.seg_model.type = "SegFormer_B0"
+        cfg.train.total_iter = 4
+        segmentor = build_segmentor(cfg, dtype=jnp.float32)
+        variables = segmentor.init_variables(jax.random.PRNGKey(0), (1, 64, 128, 3))
+        tx = make_optimizer(cfg, variables["params"])
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=tx.init(variables["params"]),
+        )
+        rng = np.random.default_rng(0)
+        batch = {
+            "t_img": rng.integers(0, 255, size=(2, 64, 128, 3)).astype(np.uint8),
+            "t_plbl": rng.integers(0, 19, size=(2, 64, 128)).astype(np.int32),
+        }
+        step = jax.jit(make_self_training_step(segmentor, tx))
+        new_state, losses = step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(losses["target_seg_loss"]))
