@@ -99,14 +99,27 @@ def make_ms_flip_step(segmentor, resize_sizes, is_flip: bool, num_classes: int):
     return step
 
 
-def run_validation(step_fn, params, batch_stats, data_iter: Iterable, with_pred=False):
-    """Accumulate (iou, miou) over a batch iterator."""
+def run_validation(
+    step_fn, params, batch_stats, data_iter: Iterable, with_pred=False, mesh=None
+):
+    """Accumulate (iou, miou) over a batch iterator.
+
+    With a ``mesh``, evenly-divisible batches are sharded over the data axis
+    (XLA reduces the IoU areas across chips — the TPU version of the
+    reference's dist.all_reduce validation, base_trainer.py:180-181).
+    """
+    from hiast_tpu.parallel.mesh import batch_sharding
+
     inter_sum = None
     union_sum = None
     preds = []
+    sharding = batch_sharding(mesh) if mesh is not None else None
     for batch in data_iter:
         img = jnp.asarray(batch["images"])
         lbl = jnp.asarray(batch["labels"].astype(np.int32))
+        if sharding is not None and img.shape[0] % mesh.shape["data"] == 0:
+            img = jax.device_put(img, sharding)
+            lbl = jax.device_put(lbl, sharding)
         out = step_fn(params, batch_stats, img, lbl)
         if with_pred:
             pred, inter, union = out

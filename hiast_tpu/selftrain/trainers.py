@@ -167,7 +167,8 @@ class BaseTrainer:
             self.v_dataset, cfg.validate.batch_size, shuffle=False, drop_last=False
         )
         iou, miou = run_validation(
-            self.val_step, self.state.params, self.state.batch_stats, val_iter
+            self.val_step, self.state.params, self.state.batch_stats, val_iter,
+            mesh=self.mesh,
         )
         is_best = self.model_recorder.record_and_report_metrics(miou, iou, iteration)
         self.save_checkpoint(iteration, is_best)
@@ -277,7 +278,8 @@ class ConsistencySelfTrainingTrainer(SelfTrainingTrainer):
             self.v_dataset, cfg.validate.batch_size, shuffle=False, drop_last=False
         )
         iou, miou = run_validation(
-            self.val_step, self.state.params, self.state.batch_stats, val_iter
+            self.val_step, self.state.params, self.state.batch_stats, val_iter,
+            mesh=self.mesh,
         )
         is_best = self.model_recorder.record_and_report_metrics(miou, iou, iteration)
         self.save_checkpoint(iteration, is_best)
@@ -286,7 +288,8 @@ class ConsistencySelfTrainingTrainer(SelfTrainingTrainer):
             self.v_dataset, cfg.validate.batch_size, shuffle=False, drop_last=False
         )
         ema_iou, ema_miou = run_validation(
-            self.val_step, self.state.ema_params, self.state.batch_stats, val_iter
+            self.val_step, self.state.ema_params, self.state.batch_stats, val_iter,
+            mesh=self.mesh,
         )
         self.ema_recorder.record_and_report_metrics(ema_miou, ema_iou, iteration)
         from hiast_tpu.utils.checkpoint import save_train_state

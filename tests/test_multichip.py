@@ -1,0 +1,67 @@
+"""Multi-device semantics tests (8 virtual CPU devices):
+
+- IAS pseudo-label generation over a sharded batch produces EXACTLY the
+  state/labels of the unsharded run (the histogram reduction is global under
+  jit — the SURVEY §7 'sequential EMA dependence' hard part).
+- sharded validation step matches unsharded IoU areas.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hiast_tpu.parallel.mesh import batch_sharding, make_mesh, replicate
+from hiast_tpu.pseudo import policies as P
+
+RNG = np.random.default_rng(5)
+C, BINS = 19, 512
+
+
+def ias_step(logits, state):
+    maxprob, pred = P.confidences(logits)
+    hist = P.class_prob_histogram(maxprob, pred, C, BINS)
+    new_thr = P.ias_update(state, hist, 0.5, 0.9, 8.0)
+    plbl = P.select_pseudo_labels(maxprob, pred, new_thr)
+    counts = P.per_sample_class_counts(plbl, C)
+    sums, totals = P.class_prob_sums(plbl, maxprob, C)
+    new_cmp = P.update_class_mean_probs(state.class_mean_probs, sums, totals, 0.99)
+    return plbl, counts, P.IASState(new_thr, new_cmp)
+
+
+def test_sharded_ias_equals_unsharded(eight_devices):
+    mesh = make_mesh()
+    logits = RNG.normal(size=(8, 16, 24, C)).astype(np.float32) * 3
+    state = P.IASState(jnp.full((C,), 0.9), jnp.zeros((C,)))
+
+    step = jax.jit(ias_step)
+    plbl_ref, counts_ref, state_ref = step(jnp.asarray(logits), state)
+
+    sharded_logits = jax.device_put(jnp.asarray(logits), batch_sharding(mesh))
+    sharded_state = replicate(mesh, state)
+    plbl_s, counts_s, state_s = step(sharded_logits, sharded_state)
+
+    np.testing.assert_array_equal(np.asarray(plbl_s), np.asarray(plbl_ref))
+    np.testing.assert_array_equal(np.asarray(counts_s), np.asarray(counts_ref))
+    np.testing.assert_allclose(
+        np.asarray(state_s.thresholds), np.asarray(state_ref.thresholds), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(state_s.class_mean_probs),
+        np.asarray(state_ref.class_mean_probs),
+        atol=1e-6,
+    )
+
+
+def test_sharded_validation_matches(eight_devices):
+    from hiast_tpu.ops.metrics import intersection_and_union
+
+    mesh = make_mesh()
+    pred = RNG.integers(0, C, size=(8, 32, 32)).astype(np.int32)
+    target = np.where(
+        RNG.random(size=(8, 32, 32)) < 0.2, 255, RNG.integers(0, C, size=(8, 32, 32))
+    ).astype(np.int32)
+    fn = jax.jit(lambda p, t: intersection_and_union(p, t, C))
+    i_ref, u_ref = fn(jnp.asarray(pred), jnp.asarray(target))
+    sharding = batch_sharding(mesh)
+    i_s, u_s = fn(jax.device_put(jnp.asarray(pred), sharding), jax.device_put(jnp.asarray(target), sharding))
+    np.testing.assert_array_equal(np.asarray(i_s), np.asarray(i_ref))
+    np.testing.assert_array_equal(np.asarray(u_s), np.asarray(u_ref))
