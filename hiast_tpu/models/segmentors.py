@@ -35,11 +35,24 @@ class BaseSegmentor:
             rng, jnp.zeros(input_shape, self.dtype), train=False, return_representation=True
         )
 
+    def raw_apply(self, variables, img, train: bool = False, mutable=False):
+        """module.apply with optional gradient rematerialization
+        (cfg.runtime.remat): the whole trunk's activations are recomputed in
+        the backward pass instead of stored."""
+        import jax
+
+        def apply_fn(variables, x):
+            return self.module.apply(
+                variables, x.astype(self.dtype), train=train, mutable=mutable
+            )
+
+        if train and getattr(self.cfg.runtime, "remat", False):
+            apply_fn = jax.checkpoint(apply_fn)
+        return apply_fn(variables, img)
+
     def forward(self, variables, img, train: bool = False, mutable=False):
         """Returns {'logits' (full-res fp32), 'backbone'} (+ new model state)."""
-        out = self.module.apply(
-            variables, img.astype(self.dtype), train=train, mutable=mutable
-        )
+        out = self.raw_apply(variables, img, train=train, mutable=mutable)
         if mutable:
             out, new_state = out
         logits = bilinear_resize(

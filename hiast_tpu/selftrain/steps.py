@@ -54,9 +54,7 @@ def _forward_for_loss(segmentor, variables, img, train, mutable=False):
     """Model forward returning logits at the configured loss resolution."""
     if _loss_grid(segmentor) == "full":
         return segmentor.forward(variables, img, train=train, mutable=mutable)
-    out = segmentor.module.apply(
-        variables, img.astype(segmentor.dtype), train=train, mutable=mutable
-    )
+    out = segmentor.raw_apply(variables, img, train=train, mutable=mutable)
     if mutable:
         out, new_state = out
     result = {"logits": out["logits"].astype(jnp.float32), "backbone": out["backbone"]}

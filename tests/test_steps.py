@@ -264,3 +264,17 @@ class TestLossResolution:
         step = jax.jit(make_consistency_step(segmentor, tx, strong_aug="CCA"))
         _, losses = step(state, make_batch(), jax.random.PRNGKey(0))
         assert np.isfinite(float(losses["cst_loss"]))
+
+
+class TestRemat:
+    def test_remat_step_matches_no_remat(self):
+        batch = make_batch()
+        results = {}
+        for remat in (False, True):
+            cfg = tiny_cfg(**{"runtime.remat": remat})
+            segmentor = build_segmentor(cfg, dtype=jnp.float32, backbone_layers=TINY)
+            state, tx, _ = init_state(cfg, segmentor)
+            step = jax.jit(make_self_training_step(segmentor, tx))
+            _, losses = step(state, batch, jax.random.PRNGKey(0))
+            results[remat] = float(losses["target_seg_loss"])
+        assert abs(results[True] - results[False]) < 1e-5
