@@ -11,6 +11,7 @@ the current step (PIL/cv2 release the GIL for the heavy parts).
 """
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from typing import Iterator
@@ -30,19 +31,33 @@ def collate(samples: list[dict]) -> dict:
 
 
 class BatchIterator:
-    """One epoch of shuffled, collated batches."""
+    """One epoch of shuffled, collated batches.
 
-    def __init__(self, dataset, batch_size, shuffle=True, seed=0, epoch=0, drop_last=True):
+    ``num_workers`` > 0 fetches the samples of a batch through a thread pool
+    — decode/resize/paste run in C (PIL/cv2/native ops) with the GIL
+    released, so threads scale on multi-core hosts (the TPU-host analog of
+    the reference's DataLoader worker processes).
+    """
+
+    def __init__(
+        self, dataset, batch_size, shuffle=True, seed=0, epoch=0, drop_last=True,
+        num_workers: int = 0,
+    ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.epoch = epoch
         self.drop_last = drop_last
+        self.num_workers = num_workers
 
     def __len__(self):
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _fetch(self, i: int) -> dict:
+        rng = np.random.default_rng((self.seed, self.epoch, int(i)))
+        return self.dataset.get_item(int(i), rng)
 
     def __iter__(self) -> Iterator[dict]:
         n = len(self.dataset)
@@ -50,22 +65,36 @@ class BatchIterator:
         if self.shuffle:
             np.random.default_rng((self.seed, self.epoch)).shuffle(order)
         limit = (n // self.batch_size) * self.batch_size if self.drop_last else n
-        for start in range(0, limit, self.batch_size):
-            idxs = order[start : start + self.batch_size]
-            samples = []
-            for i in idxs:
-                rng = np.random.default_rng((self.seed, self.epoch, int(i)))
-                samples.append(self.dataset.get_item(int(i), rng))
-            yield collate(samples)
+        pool = None
+        if self.num_workers > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        try:
+            for start in range(0, limit, self.batch_size):
+                idxs = [int(i) for i in order[start : start + self.batch_size]]
+                if pool is not None:
+                    samples = list(pool.map(self._fetch, idxs))
+                else:
+                    samples = [self._fetch(i) for i in idxs]
+                yield collate(samples)
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
 
 
-def infinite_batches(dataset, batch_size, seed=0, prefetch=2) -> Iterator[dict]:
+def infinite_batches(dataset, batch_size, seed=0, prefetch=2, num_workers=None) -> Iterator[dict]:
     """Endless stream of train batches with epoch reshuffling + prefetch."""
+    if num_workers is None:
+        num_workers = min(batch_size, max(os.cpu_count() - 1, 0))
 
     def produce():
         epoch = 0
         while True:
-            it = BatchIterator(dataset, batch_size, shuffle=True, seed=seed, epoch=epoch)
+            it = BatchIterator(
+                dataset, batch_size, shuffle=True, seed=seed, epoch=epoch,
+                num_workers=num_workers,
+            )
             yield from it
             epoch += 1
 
