@@ -25,15 +25,27 @@ def make_forward(cfg, segmentor, variables):
     'full' feeds the per-pixel selection.
     """
     from hiast_tpu.ops.resize import bilinear_resize
+    from hiast_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    mesh = make_mesh(cfg, batch_size=cfg.pseudo_policy.batch_size)
+    sharding = batch_sharding(mesh)
 
     @jax.jit
-    def forward(images):
-        images = jnp.asarray(images)
+    def _forward(images):
         img = normalize_image(images)
         out = segmentor.module.apply(variables, img.astype(segmentor.dtype), train=False)
         low = out["logits"].astype(jnp.float32)
         full = bilinear_resize(low, images.shape[1], images.shape[2])
         return {"full": full, "low": low}
+
+    def forward(images):
+        images = jnp.asarray(images)
+        # shard evenly-divisible batches over the data mesh axis; the IAS
+        # histogram/stats reductions are global under jit (see
+        # tests/test_multichip.py), so the carried state stays replicated
+        if images.shape[0] % mesh.shape["data"] == 0:
+            images = jax.device_put(images, sharding)
+        return _forward(images)
 
     return forward
 

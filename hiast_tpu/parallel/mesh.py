@@ -15,21 +15,23 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(cfg=None, devices=None) -> Mesh:
+def make_mesh(cfg=None, devices=None, batch_size=None) -> Mesh:
     """Build the (data, model) mesh.
 
     ``runtime.mesh.data == -1`` auto-sizes the data axis: all devices, capped
     to the largest divisor of the global batch size (a global batch of 6 on 8
-    chips runs data=6 — XLA requires even batch sharding).
+    chips runs data=6 — XLA requires even batch sharding).  ``batch_size``
+    overrides the cap source (e.g. pseudo_policy.batch_size for generation).
     """
     devices = devices if devices is not None else jax.devices()
     data = cfg.runtime.mesh.data if cfg is not None else -1
     model = cfg.runtime.mesh.model if cfg is not None else 1
     if data == -1:
         data = len(devices) // model
-        batch = cfg.train.batch_size if cfg is not None else None
-        if batch:
-            while batch % data != 0:
+        if batch_size is None and cfg is not None:
+            batch_size = cfg.train.batch_size
+        if batch_size:
+            while batch_size % data != 0:
                 data -= 1
     devs = np.asarray(devices[: data * model]).reshape(data, model)
     return Mesh(devs, ("data", "model"))

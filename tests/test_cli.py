@@ -123,3 +123,42 @@ def test_micro_round_through_clis(fixture_root, tmp_path):
     assert "model_last" in ckpts and "ema_model_last" in ckpts
     assert (work_dir / "config.yaml").exists()
     assert (work_dir / "code.tar.gz").exists()
+
+
+def test_run_rounds_driver(fixture_root, tmp_path):
+    """One full round through the run_rounds driver: pseudo-gen from a seed
+    checkpoint -> consistency train -> next-round checkpoints exist."""
+    import numpy as np
+    import jax
+
+    from hiast_tpu.cli import run_rounds
+    from hiast_tpu.config import load_config
+    from hiast_tpu.models.segmentors import build_segmentor
+    from hiast_tpu.utils.checkpoint import save_train_state
+
+    cfg_file, setting_file = write_round_config(tmp_path, fixture_root)
+    configs_dir = tmp_path / "configs"
+    os.makedirs(configs_dir)
+    import shutil
+
+    shutil.copy(cfg_file, configs_dir / "sl_1.yaml")
+    shutil.copy(setting_file, configs_dir / "hiast_setting.yaml")
+
+    # seed warmup checkpoints (random weights in Orbax layout)
+    cfg = load_config(str(configs_dir / "sl_1.yaml"))
+    seg = build_segmentor(cfg, dtype=np.float32, backbone_layers=(1, 1, 1, 1))
+    v = seg.init_variables(jax.random.PRNGKey(0), (1, 32, 64, 3))
+    warm = tmp_path / "pretrained"
+    save_train_state(str(warm), "warmup", {"params": v["params"], "batch_stats": v["batch_stats"]})
+
+    work = tmp_path / "hiast_log"
+    run_rounds.main([
+        "--work_dir", str(work),
+        "--warmup_ckpt", str(warm / "warmup"),
+        "--warmup_pseudo_ckpt", str(warm / "warmup"),
+        "--configs_dir", str(configs_dir),
+        "--rounds", "1",
+    ])
+    ckpts = os.listdir(work / "sl_1" / "checkpoints")
+    assert "model_last" in ckpts and "ema_model_last" in ckpts
+    assert len(os.listdir(work / "sl_1" / "pseudo_label" / "gray_label")) == 4
