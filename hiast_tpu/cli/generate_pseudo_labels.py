@@ -84,7 +84,8 @@ def main(argv=None):
         )
 
     generator = PSEUDO_POLICY[cfg.pseudo_policy.type](
-        cfg, make_forward(cfg, segmentor, variables), data_iter_factory
+        cfg, make_forward(cfg, segmentor, variables), data_iter_factory,
+        expected_count=len(dataset),
     )
     generator.run()
 

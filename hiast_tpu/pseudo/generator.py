@@ -52,10 +52,17 @@ class BasePseudoGenerator:
     ``data_iter`` yields {'images': uint8 [B,H,W,3], 'image_paths': [str]}.
     """
 
-    def __init__(self, cfg, forward_fn: Callable, data_iter_factory: Callable[[], Iterable]):
+    def __init__(
+        self,
+        cfg,
+        forward_fn: Callable,
+        data_iter_factory: Callable[[], Iterable],
+        expected_count: int | None = None,
+    ):
         self.cfg = cfg
         self.forward_fn = forward_fn
         self.data_iter_factory = data_iter_factory
+        self.expected_count = expected_count
         self.num_classes = cfg.dataset.num_classes
         self.num_bins = cfg.pseudo_policy.num_hist_bins
         self.save_dir = cfg.pseudo_policy.save_dir
@@ -126,10 +133,15 @@ class BasePseudoGenerator:
         with open(os.path.join(self.stats_dir, "samples_with_class.json"), "w") as f:
             json.dump(self.samples_class, f)
 
-    def _already_done(self, n_expected: int) -> bool:
-        return (
-            os.path.isdir(self.save_dir) and len(os.listdir(self.save_dir)) >= n_expected
-        )
+    def already_done(self, n_expected: int | None = None) -> bool:
+        """Idempotency: skip regeneration when the output dir is fully
+        populated (reference pseudo_label_generator.py:116-117,182-183)."""
+        if not os.path.isdir(self.save_dir):
+            return False
+        n = len(os.listdir(self.save_dir))
+        if n_expected is None:
+            n_expected = self.expected_count
+        return n_expected is not None and n >= n_expected
 
     def prepare_dirs(self):
         os.makedirs(self.save_dir, exist_ok=True)
@@ -147,6 +159,9 @@ class ConstantThresholdGenerator(BasePseudoGenerator):
         return jnp.full((self.num_classes,), self.cfg.pseudo_policy.ct.threshold, jnp.float32)
 
     def run(self):
+        if self.already_done():
+            print(f"%% pseudo labels already exist in {self.save_dir}; skipping")
+            return
         self.prepare_dirs()
         thresholds = self.initial_thresholds()
         cmp = jnp.asarray(self.class_mean_probs)
@@ -209,6 +224,9 @@ class IASGenerator(BasePseudoGenerator):
         return plbl.astype(jnp.uint8), counts, P.IASState(new_thr, new_cmp)
 
     def run(self):
+        if self.already_done():
+            print(f"%% pseudo labels already exist in {self.save_dir}; skipping")
+            return
         self.prepare_dirs()
         state = P.IASState(
             thresholds=jnp.full((self.num_classes,), 0.9, jnp.float32),

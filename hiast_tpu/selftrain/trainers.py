@@ -96,9 +96,10 @@ class BaseTrainer:
             jax.random.PRNGKey(cfg.train.random_seed), (1, ch, cw, 3)
         )
         variables = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
-        if cfg.train.resume_from:
-            variables = load_weights(cfg.train.resume_from, variables)
-            self.logger.info(f"resumed weights from {cfg.train.resume_from}")
+        resume = cfg.train.resume_from
+        if resume and not os.path.isdir(resume):  # weights-only (.pth)
+            variables = load_weights(resume, variables)
+            self.logger.info(f"resumed weights from {resume}")
         self.tx = make_optimizer(cfg, variables["params"])
         state_kwargs = dict(
             step=jnp.zeros((), jnp.int32),
@@ -108,6 +109,8 @@ class BaseTrainer:
         )
         self.d_tx = None
         state_kwargs.update(self.extra_state(variables))
+        if resume and os.path.isdir(resume):
+            state_kwargs = self._restore_from_orbax(resume, state_kwargs)
         self.state = replicate(self.mesh, TrainState(**state_kwargs))
         self.lr_fn = lr_schedule(cfg)
         self.model_recorder = ResultRecorder(
@@ -117,6 +120,32 @@ class BaseTrainer:
 
     def extra_state(self, variables) -> dict:
         return {}
+
+    def _restore_from_orbax(self, resume: str, state_kwargs: dict) -> dict:
+        """Resume from an Orbax checkpoint: FULL state (step/opt/EMA) when the
+        checkpoint carries it — a strict superset of the reference's
+        weights-only resume (SURVEY §5.4) — else weights-only."""
+        from hiast_tpu.utils.checkpoint import load_train_state
+
+        ckpt_dir, name = os.path.split(os.path.normpath(resume))
+        template = {
+            k: v for k, v in state_kwargs.items() if v is not None and k != "d_opt_state"
+        }
+        try:
+            restored = load_train_state(ckpt_dir, name, template)
+            state_kwargs.update(restored)
+            self.logger.info(f"resumed FULL train state from {resume}")
+        except Exception:  # noqa: BLE001 - weights-only checkpoint
+            variables = load_weights(
+                resume,
+                {"params": state_kwargs["params"], "batch_stats": state_kwargs["batch_stats"]},
+            )
+            state_kwargs["params"] = variables["params"]
+            state_kwargs["batch_stats"] = variables["batch_stats"]
+            if state_kwargs.get("ema_params") is not None:
+                state_kwargs["ema_params"] = jax.tree.map(jnp.asarray, variables["params"])
+            self.logger.info(f"resumed weights from {resume}")
+        return state_kwargs
 
     def build_train_data_reader(self):
         cfg = self.cfg
@@ -149,7 +178,8 @@ class BaseTrainer:
         self.logger.info("=" * 100)
         self.model_recorder.reset_time_and_losses()
 
-        for it in range(1, cfg.train.total_iter + 1):
+        start = int(np.asarray(self.state.step)) + 1  # mid-run resume support
+        for it in range(start, cfg.train.total_iter + 1):
             self.profiler.step(it)
             batch = shard_batch(self.mesh, self.next_batch())
             rng = jax.random.fold_in(self.base_rng, it)

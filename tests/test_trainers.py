@@ -101,3 +101,32 @@ class TestAdversarialTrainer:
         )
         trainer.run()
         assert np.isfinite(trainer.model_recorder.best_miou)
+
+
+class TestFullStateResume:
+    def test_resume_continues_from_step(self, tmp_path):
+        cfg = base_cfg(tmp_path, "SelfTrainingTrainer", iters=6)
+        cfg.model.type = "SelfTrainingSegmentor"
+        cfg.train.iter_val = 3  # checkpoint at iter 3 and 6
+        train, val = synthetic_sets(with_ignore=True)
+        trainer = TRAINER[cfg.trainer](
+            cfg, datasets={"target": train, "val": val}, backbone_layers=TINY
+        )
+        trainer.run()
+        assert int(np.asarray(trainer.state.step)) == 6
+        ckpt = os.path.join(cfg.work_dir, "checkpoints", "model_last")
+
+        # resume FULL state into a fresh trainer: step picks up at 6
+        cfg2 = base_cfg(tmp_path / "resumed", "SelfTrainingTrainer", iters=8)
+        cfg2.model.type = "SelfTrainingSegmentor"
+        cfg2.train.resume_from = ckpt
+        trainer2 = TRAINER[cfg2.trainer](
+            cfg2, datasets={"target": train, "val": val}, backbone_layers=TINY
+        )
+        assert int(np.asarray(trainer2.state.step)) == 6
+        np.testing.assert_array_equal(
+            np.asarray(trainer2.state.params["backbone"]["conv1"]["kernel"]),
+            np.asarray(trainer.state.params["backbone"]["conv1"]["kernel"]),
+        )
+        trainer2.run()  # runs only iters 7..8
+        assert int(np.asarray(trainer2.state.step)) == 8
