@@ -105,7 +105,16 @@ class BasePseudoGenerator:
         return P.class_prob_histogram(maxprob, pred, self.num_classes, self.num_bins)
 
     # -- host-side bookkeeping ---------------------------------------------
+    def _writer_pool(self):
+        if not hasattr(self, "_png_pool"):
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._png_pool = ThreadPoolExecutor(max_workers=2)
+            self._png_futures = []
+        return self._png_pool
+
     def _record_batch(self, plbl_np, counts_np, image_paths):
+        pool = self._writer_pool()
         for img_path, counts, plbl in zip(image_paths, counts_np, plbl_np):
             current = {}
             for c in np.nonzero(counts)[0]:
@@ -116,11 +125,22 @@ class BasePseudoGenerator:
             current["file"] = img_path
             self.sample_stats.append(current)
             name = os.path.splitext(os.path.basename(img_path))[0]
-            _write_gray_png(
-                os.path.join(self.save_dir, f"{name}_pseudo_label.png"), plbl
+            # PNG encoding overlaps the next device batch (PIL releases the GIL)
+            self._png_futures.append(
+                pool.submit(
+                    _write_gray_png,
+                    os.path.join(self.save_dir, f"{name}_pseudo_label.png"),
+                    plbl,
+                )
             )
 
+    def _drain_writers(self):
+        for f in getattr(self, "_png_futures", []):
+            f.result()
+        self._png_futures = []
+
     def save_data(self):
+        self._drain_writers()
         if self.class_threshold is not None:
             np.save(os.path.join(self.stats_dir, "class_threshold.npy"), self.class_threshold)
         np.save(os.path.join(self.stats_dir, "statics_class.npy"), self.statics_class)
