@@ -218,10 +218,11 @@ def _batched_equalize(x):
     cdf_min = jnp.take_along_axis(cdf, jnp.argmax(hist > 0, axis=-1)[..., None], axis=-1)
     denom = jnp.maximum(cdf[..., -1:] - cdf_min, 1.0)
     lut = jnp.clip(jnp.round((cdf - cdf_min) / denom * 255.0), 0, 255)  # [B,3,256]
-    flat_idx = (
-        (samp[:, None, None, None] * 3 + chan[None, None, None, :]) * 256 + q
-    )
-    return lut.reshape(-1)[flat_idx]
+    # LUT application as a one-hot reduce (fused compare+multiply+sum over
+    # the 256 levels) — a 12.6M-element gather serializes on TPU.
+    levels = jnp.arange(256, dtype=jnp.int32)
+    onehot = (q[..., None] == levels).astype(jnp.float32)  # [B,H,W,3,256] (fused)
+    return jnp.einsum("bhwck,bck->bhwc", onehot, lut)
 
 
 def _batched_color_jitter(x, rng):

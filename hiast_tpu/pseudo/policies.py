@@ -109,10 +109,18 @@ def ias_update(
 def select_pseudo_labels(
     maxprob: jnp.ndarray, pred: jnp.ndarray, thresholds: jnp.ndarray | None
 ) -> jnp.ndarray:
-    """Confidence-gated pseudo labels: below-threshold pixels -> 255."""
+    """Confidence-gated pseudo labels: below-threshold pixels -> 255.
+
+    The per-pixel threshold lookup is a one-hot contraction, not a gather
+    (per-pixel gathers serialize on TPU).
+    """
     if thresholds is None:  # NT policy
         return pred
-    per_pixel_thr = thresholds[pred]
+    num_classes = thresholds.shape[0]
+    onehot = (pred[..., None] == jnp.arange(num_classes, dtype=pred.dtype)).astype(
+        jnp.float32
+    )
+    per_pixel_thr = jnp.sum(onehot * thresholds.astype(jnp.float32), axis=-1)
     return jnp.where(maxprob < per_pixel_thr, IGNORE, pred).astype(jnp.int32)
 
 
