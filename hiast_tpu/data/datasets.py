@@ -167,10 +167,20 @@ class GTAVDataset(BaseDataset):
 @DATASET.register("SYNTHIA")
 class SYNTHIADataset(BaseDataset):
     def read_label(self, path):
-        import imageio.v2 as imageio
+        """SYNTHIA labels are 16-bit RGB PNGs with the class id in channel 0
+        (reference synthia_dataset.py:16 reads via imageio PNG-FI).  The
+        FreeImage backend is often unavailable, so fall back to cv2's 16-bit
+        reader (BGR order: channel 0 of RGB == channel 2 of BGR)."""
+        try:
+            import imageio.v2 as imageio
 
-        lbl = np.asarray(imageio.imread(path, format="PNG-FI"))[:, :, 0]
-        return remap_label(lbl.astype(np.uint8), "SYNTHIA")
+            lbl = np.asarray(imageio.imread(path, format="PNG-FI"))[:, :, 0]
+        except Exception:  # noqa: BLE001 - FreeImage plugin missing
+            raw = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+            if raw is None:
+                raise FileNotFoundError(path)
+            lbl = raw[:, :, 2] if raw.ndim == 3 else raw  # BGR -> red channel
+        return remap_label(np.clip(lbl, 0, 255).astype(np.uint8), "SYNTHIA")
 
     def build_aug_fn(self, aug_type):
         ch, cw = self.cfg.dataset.crop_size

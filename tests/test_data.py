@@ -174,3 +174,29 @@ class TestPipeline:
         assert next(it) == 1
         with pytest.raises(ValueError):
             next(it)
+
+
+class TestSynthiaLabels:
+    def test_16bit_label_read_via_cv2_fallback(self, tmp_path):
+        import cv2
+        from hiast_tpu.config import default_config
+        from hiast_tpu.data.datasets import SYNTHIADataset
+
+        # SYNTHIA-style 16-bit RGB PNG, class id in (RGB) channel 0
+        lbl16 = np.zeros((16, 24, 3), np.uint16)
+        ids = RNG.choice(list(remap.SYNTHIA_ID_MAP.keys()), size=(16, 24))
+        lbl16[..., 0] = ids
+        # cv2 writes BGR, so put the class id in BGR channel 2
+        bgr = lbl16[..., ::-1].copy()
+        img = RNG.integers(0, 255, size=(16, 24, 3)).astype(np.uint8)
+        os.makedirs(tmp_path / "RGB"); os.makedirs(tmp_path / "GT")
+        cv2.imwrite(str(tmp_path / "GT" / "l.png"), bgr)
+        Image.fromarray(img).save(tmp_path / "RGB" / "i.png")
+        (tmp_path / "m.json").write_text(
+            json.dumps([{"image_name": "RGB/i.png", "mask_name": "GT/l.png"}])
+        )
+        cfg = default_config()
+        ds = SYNTHIADataset(cfg, str(tmp_path / "m.json"), str(tmp_path), aug_type=[])
+        _, lbl, _ = ds.load_data(0)
+        want = remap.remap_label(ids.astype(np.uint8), "SYNTHIA")
+        np.testing.assert_array_equal(lbl, want)
