@@ -44,6 +44,9 @@ class CopyPaste:
         self.hard_classes = np.argsort(class_value)[:k]
         self.samples_with_class = dataset_copy_from.get_samples_with_class()
         probs = (1.0 - np.where(np.isfinite(class_value), class_value, 1.0)) ** 2
+        if probs.sum() <= 0:  # degenerate stats (all mean-probs == 1)
+            probs = np.ones_like(probs)
+            probs[~np.isfinite(class_value)] = 0.0
         self.class_probs = probs / probs.sum()
 
         self._hard_lut = np.zeros(256, bool)

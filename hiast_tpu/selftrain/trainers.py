@@ -147,17 +147,27 @@ class BaseTrainer:
             self.logger.info(f"resumed weights from {resume}")
         return state_kwargs
 
+    def _workers(self):
+        n = self.cfg.dataset.num_workers
+        return n if n and n > 0 else None  # None -> auto (cpu_count - 1)
+
     def build_train_data_reader(self):
         cfg = self.cfg
         if self.needs_source:
             ds = self.datasets.get("source") or build_dataset(cfg, "source")
-            self.s_stream = infinite_batches(ds, cfg.train.batch_size, seed=cfg.train.random_seed)
+            self.s_stream = infinite_batches(
+                ds, cfg.train.batch_size, seed=cfg.train.random_seed,
+                num_workers=self._workers(),
+            )
         if self.needs_target:
             ds = self.datasets.get("target") or build_dataset(
                 cfg, "target", pseudo_dir=cfg.dataset.target.pseudo_dir
             )
             self.t_dataset = ds
-            self.t_stream = infinite_batches(ds, cfg.train.batch_size, seed=cfg.train.random_seed + 1)
+            self.t_stream = infinite_batches(
+                ds, cfg.train.batch_size, seed=cfg.train.random_seed + 1,
+                num_workers=self._workers(),
+            )
 
     def build_val_data_reader(self):
         cfg = self.cfg
@@ -290,7 +300,10 @@ class ConsistencySelfTrainingTrainer(SelfTrainingTrainer):
         if ds.get_samples_with_class():
             ds.set_preprocessor(CopyPaste(cfg, ds, class_value))
         self.t_dataset = ds
-        self.t_stream = infinite_batches(ds, cfg.train.batch_size, seed=cfg.train.random_seed + 1)
+        self.t_stream = infinite_batches(
+            ds, cfg.train.batch_size, seed=cfg.train.random_seed + 1,
+            num_workers=self._workers(),
+        )
 
     def make_step(self):
         # strong view kind: from cfg aug list (['MS','CCA'] -> CCA on device),
