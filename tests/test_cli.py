@@ -162,3 +162,69 @@ def test_run_rounds_driver(fixture_root, tmp_path):
     ckpts = os.listdir(work / "sl_1" / "checkpoints")
     assert "model_last" in ckpts and "ema_model_last" in ckpts
     assert len(os.listdir(work / "sl_1" / "pseudo_label" / "gray_label")) == 4
+
+
+def test_validate_cli(fixture_root, tmp_path, capsys):
+    """validate CLI end-to-end on fixtures with random weights."""
+    from hiast_tpu.cli import validate as validate_cli
+
+    cfg_yaml = f"""
+model:
+  type: 'SourceOnlySegmentor'
+  seg_model:
+    backbone_layers: [1, 1, 1, 1]
+dataset:
+  num_classes: 19
+  source:
+    type: 'GTAV'
+  val:
+    type: 'Cityscapes'
+    json_path: '{fixture_root}/cityscapes_val.json'
+    image_dir: '{fixture_root}/city'
+validate:
+  resize_sizes: [ [ 32, 64 ] ]
+  is_flip: True
+  batch_size: 2
+runtime:
+  precision:
+    compute_dtype: 'float32'
+"""
+    cfg_file = tmp_path / "val.yaml"
+    cfg_file.write_text(cfg_yaml)
+    # random weights: export a .pth from a random init to exercise load
+    import jax
+    import torch
+    from hiast_tpu.config import load_config
+    from hiast_tpu.models.segmentors import build_segmentor
+    from hiast_tpu.utils.checkpoint import export_pth
+
+    cfg = load_config(str(cfg_file))
+    seg = build_segmentor(cfg, dtype=np.float32)
+    v = seg.init_variables(jax.random.PRNGKey(0), (1, 32, 64, 3))
+    pth = tmp_path / "w.pth"
+    export_pth(str(pth), {"params": v["params"], "batch_stats": v["batch_stats"]})
+
+    result = validate_cli.main([
+        "--config_file", str(cfg_file),
+        "--validate_resume_from", str(pth),
+    ])
+    out = capsys.readouterr().out
+    assert "miou:" in out
+    assert 0.0 <= result["miou"] <= 1.0
+
+
+def test_make_manifests_cli(tmp_path):
+    import json as _json
+
+    from hiast_tpu.cli import make_manifests
+
+    os.makedirs(tmp_path / "leftImg8bit" / "train" / "aachen")
+    (tmp_path / "leftImg8bit" / "train" / "aachen" / "a_000000_000019_leftImg8bit.png").touch()
+    out = tmp_path / "m.json"
+    make_manifests.main([
+        "--dataset", "cityscapes", "--root", str(tmp_path), "--split", "train",
+        "--output", str(out),
+    ])
+    m = _json.load(open(out))
+    assert m[0]["mask_name"].endswith("_gtFine_labelTrainIds.png")
+    assert m[0]["image_name"].startswith("leftImg8bit/train/aachen/")
