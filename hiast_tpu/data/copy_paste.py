@@ -97,3 +97,73 @@ class CopyPaste:
             selected_classes = [c for c in self.hard_classes if c not in exist_classes]
 
         return img, lbl, cp_mask
+
+
+@PREPROCESSOR.register("ClassMix")
+class ClassMix:
+    """ClassMix (arXiv:2007.07936): paste HALF the classes of a random donor
+    image.  Named but unimplemented in the reference
+    (default_config.py:173, base_dataset.py:44-46); provided here for the
+    full preprocessor enum."""
+
+    def __init__(self, cfg, dataset_copy_from, init_class_value=None):
+        self.cfg = cfg
+        self.dataset = dataset_copy_from
+
+    def run(self, img: np.ndarray, lbl: np.ndarray, rng: np.random.Generator):
+        img = img.copy()
+        lbl = lbl.copy()
+        cp_mask = np.full_like(lbl, IGNORE)
+        donor_idx = int(rng.integers(0, len(self.dataset)))
+        d_img, d_lbl, _ = self.dataset.load_data(donor_idx)
+        if d_img.shape != img.shape:
+            import cv2
+
+            d_img = cv2.resize(d_img, (img.shape[1], img.shape[0]), interpolation=cv2.INTER_LINEAR)
+            d_lbl = cv2.resize(d_lbl, (img.shape[1], img.shape[0]), interpolation=cv2.INTER_NEAREST)
+        classes = np.unique(d_lbl)
+        classes = classes[classes != IGNORE]
+        if classes.size == 0:
+            return img, lbl, cp_mask
+        k = max(classes.size // 2, 1)
+        chosen = rng.choice(classes, size=k, replace=False)
+        lut = np.zeros(256, np.uint8)
+        lut[chosen] = 1
+        from hiast_tpu.data.native_ops import paste_hard_classes
+
+        paste_hard_classes(img, lbl, cp_mask, d_img, d_lbl, lut)
+        return img, lbl, cp_mask
+
+
+@PREPROCESSOR.register("CutMix")
+class CutMix:
+    """CutMix (arXiv:1905.04899): paste one random rectangle from a donor
+    image.  Named but unimplemented in the reference."""
+
+    def __init__(self, cfg, dataset_copy_from, init_class_value=None, beta: float = 1.0):
+        self.cfg = cfg
+        self.dataset = dataset_copy_from
+        self.beta = beta
+
+    def run(self, img: np.ndarray, lbl: np.ndarray, rng: np.random.Generator):
+        img = img.copy()
+        lbl = lbl.copy()
+        cp_mask = np.full_like(lbl, IGNORE)
+        donor_idx = int(rng.integers(0, len(self.dataset)))
+        d_img, d_lbl, _ = self.dataset.load_data(donor_idx)
+        if d_img.shape != img.shape:
+            import cv2
+
+            d_img = cv2.resize(d_img, (img.shape[1], img.shape[0]), interpolation=cv2.INTER_LINEAR)
+            d_lbl = cv2.resize(d_lbl, (img.shape[1], img.shape[0]), interpolation=cv2.INTER_NEAREST)
+        h, w = lbl.shape
+        lam = rng.beta(self.beta, self.beta)
+        cut = np.sqrt(1.0 - lam)
+        ch, cw = max(int(h * cut), 1), max(int(w * cut), 1)
+        y0 = int(rng.integers(0, h - ch + 1))
+        x0 = int(rng.integers(0, w - cw + 1))
+        sl = (slice(y0, y0 + ch), slice(x0, x0 + cw))
+        img[sl] = d_img[sl]
+        lbl[sl] = d_lbl[sl]
+        cp_mask[sl] = d_lbl[sl]
+        return img, lbl, cp_mask

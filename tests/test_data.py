@@ -200,3 +200,33 @@ class TestSynthiaLabels:
         _, lbl, _ = ds.load_data(0)
         want = remap.remap_label(ids.astype(np.uint8), "SYNTHIA")
         np.testing.assert_array_equal(lbl, want)
+
+
+class TestClassMixCutMix:
+    def test_classmix_pastes_half_the_classes(self):
+        from hiast_tpu.data.copy_paste import ClassMix
+        from hiast_tpu.config import default_config
+
+        ds = SyntheticSegDataset(n=4, h=32, w=48, seed=3)
+        cm = ClassMix(default_config(), ds)
+        img, lbl, _ = ds.load_data(0)
+        oi, ol, mask = cm.run(img, lbl, np.random.default_rng(0))
+        pasted = mask != 255
+        assert pasted.any()
+        np.testing.assert_array_equal(ol[pasted], mask[pasted])
+        np.testing.assert_array_equal(oi[~pasted], img[~pasted])
+
+    def test_cutmix_pastes_one_rectangle(self):
+        from hiast_tpu.data.copy_paste import CutMix
+        from hiast_tpu.config import default_config
+
+        ds = SyntheticSegDataset(n=4, h=32, w=48, seed=3)
+        cm = CutMix(default_config(), ds)
+        img, lbl, _ = ds.load_data(0)
+        oi, ol, mask = cm.run(img, lbl, np.random.default_rng(1))
+        pasted = mask != 255
+        assert pasted.any()
+        # rectangle: pasted rows/cols are contiguous
+        rows = np.where(pasted.any(axis=1))[0]
+        cols = np.where(pasted.any(axis=0))[0]
+        assert (np.diff(rows) == 1).all() and (np.diff(cols) == 1).all()
