@@ -15,7 +15,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hiast_tpu.data.copy_paste import CopyPaste
 from hiast_tpu.data.datasets import build_dataset
 from hiast_tpu.data.pipeline import BatchIterator, infinite_batches
 from hiast_tpu.evaluation import make_val_step, run_validation
@@ -267,9 +266,13 @@ class ConsistencySelfTrainingTrainer(SelfTrainingTrainer):
     copy-paste (reference consistency_self_training_trainer.py)."""
 
     def assert_cfg(self):
+        from hiast_tpu.registry import PREPROCESSOR
+
         super().assert_cfg()
         assert self.cfg.cst_training.is_enabled
-        assert self.cfg.preprocessor.type == "CopyPaste"
+        assert self.cfg.preprocessor.type in PREPROCESSOR, (
+            f"unknown preprocessor {self.cfg.preprocessor.type!r}"
+        )
 
     def extra_state(self, variables):
         return {"ema_params": jax.tree.map(jnp.copy, variables["params"])}
@@ -297,8 +300,10 @@ class ConsistencySelfTrainingTrainer(SelfTrainingTrainer):
                 class_value = np.load(cmp_path)
         if class_value is None:
             class_value = np.full(cfg.dataset.num_classes, 0.9, np.float32)
-        if ds.get_samples_with_class():
-            ds.set_preprocessor(CopyPaste(cfg, ds, class_value))
+        if ds.get_samples_with_class() or cfg.preprocessor.type != "CopyPaste":
+            from hiast_tpu.registry import PREPROCESSOR
+
+            ds.set_preprocessor(PREPROCESSOR[cfg.preprocessor.type](cfg, ds, class_value))
         self.t_dataset = ds
         self.t_stream = infinite_batches(
             ds, cfg.train.batch_size, seed=cfg.train.random_seed + 1,
