@@ -230,3 +230,29 @@ class TestClassMixCutMix:
         rows = np.where(pasted.any(axis=1))[0]
         cols = np.where(pasted.any(axis=0))[0]
         assert (np.diff(rows) == 1).all() and (np.diff(cols) == 1).all()
+
+
+class TestDeviceFDA:
+    def test_matches_host_fda(self, tmp_path):
+        """Device FDA == the host numpy FDA on the same (src, tgt) pair."""
+        import jax.numpy as jnp
+        from hiast_tpu.ops.fda import fda_device
+
+        src = RNG.integers(0, 255, size=(32, 48, 3)).astype(np.uint8)
+        tgt = RNG.integers(0, 255, size=(32, 48, 3)).astype(np.uint8)
+        got = np.asarray(fda_device(jnp.asarray(src[None]), jnp.asarray(tgt[None]), beta=0.05))[0]
+
+        # host reference computation (mirrors data/augment.py:FDA.__call__)
+        b = max(int(np.floor(min(32, 48) * 0.05)), 1)
+        want = np.empty((32, 48, 3), np.float32)
+        for ch in range(3):
+            fs = np.fft.fft2(src[..., ch].astype(np.float32))
+            ft = np.fft.fft2(tgt[..., ch].astype(np.float32))
+            amp_s = np.fft.fftshift(np.abs(fs))
+            amp_t = np.fft.fftshift(np.abs(ft))
+            cy, cx = 16, 24
+            amp_s[cy - b : cy + b, cx - b : cx + b] = amp_t[cy - b : cy + b, cx - b : cx + b]
+            amp_s = np.fft.ifftshift(amp_s)
+            want[..., ch] = np.real(np.fft.ifft2(amp_s * np.exp(1j * np.angle(fs))))
+        want = np.clip(want, 0, 255)
+        np.testing.assert_allclose(got, want, atol=0.1)
