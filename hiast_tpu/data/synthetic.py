@@ -21,6 +21,7 @@ class SyntheticSegDataset:
         seed: int = 0,
         p_ignore: float = 0.0,
         device_color_aug: str | None = None,
+        cache: bool = True,
     ):
         self.n, self.h, self.w = n, h, w
         self.num_classes = num_classes
@@ -28,6 +29,7 @@ class SyntheticSegDataset:
         self.p_ignore = p_ignore
         self.device_color_aug = device_color_aug
         self.preprocessor = None
+        self._cache: dict | None = {} if cache else None
         # per-class mean colors: the learnable signal
         self.palette = np.random.default_rng(seed).integers(
             0, 255, size=(num_classes, 3)
@@ -48,6 +50,15 @@ class SyntheticSegDataset:
         return {c: list(self.img_paths) for c in range(self.num_classes)}
 
     def _scene(self, index: int):
+        if self._cache is not None and index in self._cache:
+            img, lbl = self._cache[index]
+            return img.copy(), lbl.copy()
+        img, lbl = self._make_scene(index)
+        if self._cache is not None:
+            self._cache[index] = (img, lbl)
+        return img.copy(), lbl.copy()
+
+    def _make_scene(self, index: int):
         rng = np.random.default_rng((self.seed, index))
         # blobby label map: smooth random field argmax
         gh, gw = 8, 16

@@ -88,13 +88,14 @@ def _apply_updates(state: TrainState, tx, grads, losses, new_batch_stats) -> Tra
 def make_source_only_step(segmentor, tx) -> Callable:
     def step(state: TrainState, batch, rng):
         img = normalize_image(batch["s_img"])
+        s_lbl = batch["s_lbl"].astype(jnp.int32)  # labels ship as uint8
 
         def loss_fn(params):
             out, new_model = segmentor.forward(
                 {"params": params, "batch_stats": state.batch_stats},
                 img, train=True, mutable=["batch_stats"],
             )
-            losses = segmentor.compute_loss(out["logits"], batch["s_lbl"])
+            losses = segmentor.compute_loss(out["logits"], s_lbl)
             return _total_loss(losses), (losses, new_model["batch_stats"])
 
         grads, (losses, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)
@@ -116,7 +117,9 @@ def make_self_training_step(segmentor, tx) -> Callable:
                 {"params": params, "batch_stats": state.batch_stats},
                 img, train=True, mutable=["batch_stats"],
             )
-            plbl = _labels_for_loss(segmentor, batch["t_plbl"], out["logits"])
+            plbl = _labels_for_loss(
+                segmentor, batch["t_plbl"].astype(jnp.int32), out["logits"]
+            )
             losses = segmentor.compute_loss(out["logits"], plbl)
             return _total_loss(losses), (losses, new_model["batch_stats"])
 
@@ -151,7 +154,7 @@ def make_consistency_step(segmentor, tx, strong_aug: str | None = "CCA") -> Call
             {"params": state.ema_params, "batch_stats": state.batch_stats},
             weak, train=False,
         )["logits"]
-        plbl = _labels_for_loss(segmentor, batch["t_plbl"], t_weak_logits)
+        plbl = _labels_for_loss(segmentor, batch["t_plbl"].astype(jnp.int32), t_weak_logits)
         if hard_teacher:
             cst_lbl = jnp.argmax(t_weak_logits, axis=-1)
         else:
@@ -186,7 +189,7 @@ def make_adversarial_step(segmentor, tx, d_tx) -> Callable:
     def step(state: TrainState, batch, rng):
         s_img = normalize_image(batch["s_img"])
         t_img = normalize_image(batch["t_img"])
-        s_lbl = batch["s_lbl"]
+        s_lbl = batch["s_lbl"].astype(jnp.int32)
 
         def g_loss_fn(params):
             s_out, new_model = segmentor.forward(

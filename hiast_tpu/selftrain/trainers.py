@@ -238,7 +238,7 @@ class SourceOnlyTrainer(BaseTrainer):
 
     def next_batch(self):
         b = next(self.s_stream)
-        return {"s_img": b["images"], "s_lbl": b["labels"].astype(np.int32)}
+        return {"s_img": b["images"], "s_lbl": b["labels"]}  # uint8; cast on device
 
 
 @TRAINER.register("SelfTrainingTrainer")
@@ -257,7 +257,7 @@ class SelfTrainingTrainer(BaseTrainer):
 
     def next_batch(self):
         b = next(self.t_stream)
-        return {"t_img": b["images"], "t_plbl": b["labels"].astype(np.int32)}
+        return {"t_img": b["images"], "t_plbl": b["labels"]}  # uint8; cast on device
 
 
 @TRAINER.register("ConsistencySelfTrainingTrainer")
@@ -377,6 +377,6 @@ class AdversarialWarmupTrainer(BaseTrainer):
         t = next(self.t_stream)
         return {
             "s_img": s["images"],
-            "s_lbl": s["labels"].astype(np.int32),
+            "s_lbl": s["labels"],  # uint8; cast on device
             "t_img": t["images"],
         }
