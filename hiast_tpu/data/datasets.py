@@ -23,6 +23,12 @@ import cv2
 import numpy as np
 from PIL import Image
 
+# Our batch fetcher parallelizes across samples with threads; cv2's internal
+# pool on top of that oversubscribes the host (the reference hits the same
+# issue under DataLoader workers and does this per-__getitem__,
+# base_dataset.py:38-40 — once at import is enough in-process).
+cv2.setNumThreads(0)
+
 from hiast_tpu.data import augment as A
 from hiast_tpu.data.remap import remap_label
 from hiast_tpu.registry import DATASET
