@@ -278,3 +278,32 @@ class TestRemat:
             _, losses = step(state, batch, jax.random.PRNGKey(0))
             results[remat] = float(losses["target_seg_loss"])
         assert abs(results[True] - results[False]) < 1e-5
+
+
+class TestDeterminism:
+    def test_same_seed_same_losses(self):
+        """Two independent runs from the same seed produce identical losses
+        (reproducibility control, reference utils.py:19-26)."""
+        def run_once():
+            cfg = tiny_cfg()
+            segmentor = build_segmentor(cfg, dtype=jnp.float32, backbone_layers=TINY)
+            state, tx, _ = init_state(cfg, segmentor)
+            step = jax.jit(make_self_training_step(segmentor, tx))
+            batch = make_batch.__wrapped__() if hasattr(make_batch, "__wrapped__") else None
+            rng_local = np.random.default_rng(123)
+            batch = {
+                "t_img": rng_local.integers(0, 255, size=(8, H, W, 3)).astype(np.uint8),
+                "t_plbl": np.where(
+                    rng_local.random(size=(8, H, W)) < 0.4,
+                    255,
+                    rng_local.integers(0, 19, size=(8, H, W)),
+                ).astype(np.int32),
+            }
+            out = []
+            for i in range(2):
+                state, losses = step(state, batch, jax.random.PRNGKey(9))
+                out.append({k: float(v) for k, v in losses.items()})
+            return out
+
+        a, b = run_once(), run_once()
+        assert a == b
