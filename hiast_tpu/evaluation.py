@@ -9,7 +9,6 @@ batch; the host only accumulates two [C] vectors.
 from __future__ import annotations
 
 import os
-from functools import partial
 from typing import Iterable
 
 import jax

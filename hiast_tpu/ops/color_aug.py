@@ -19,7 +19,7 @@ Images are float32 in [0, 255] (RGB), shape [H, W, 3]; batch via vmap.
 """
 from __future__ import annotations
 
-import functools
+
 
 import jax
 import jax.numpy as jnp

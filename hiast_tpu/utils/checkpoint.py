@@ -66,9 +66,20 @@ def load_weights(path: str, target_variables: Any | None = None) -> dict:
             k: loaded[k] for k in ("params", "batch_stats") if k in loaded
         }
     else:
-        from hiast_tpu.models.convert import load_pth_to_flax
+        import torch
 
-        variables = load_pth_to_flax(path)
+        state = torch.load(path, map_location="cpu", weights_only=True)
+        if isinstance(state, dict) and "state_dict" in state:
+            state = state["state_dict"]
+        if any(k.split("module.")[-1].startswith("backbone.patch_embed") for k in state):
+            # official MiT / mmseg SegFormer layout
+            from hiast_tpu.models.convert_segformer import mit_state_dict_to_flax
+
+            variables = mit_state_dict_to_flax(state)
+        else:
+            from hiast_tpu.models.convert import torch_state_dict_to_flax
+
+            variables = torch_state_dict_to_flax(state)
     if target_variables is not None:
         variables = merge_intersecting(target_variables, variables)
     return variables
