@@ -24,6 +24,16 @@ _LEGACY_KEYS = {
     "train.port",
 }
 
+# Reference keys whose mechanism is superseded by a TPU-native redesign:
+# accepted for compatibility, dropped with a pointer at the replacement.
+_SUPERSEDED_KEYS = {
+    "pseudo_policy.cbst.sample_interval": (
+        "CBST quantiles are computed exactly on device via histograms "
+        "(pseudo_policy.num_hist_bins); the host-side probability-store "
+        "sampling interval has no effect"
+    ),
+}
+
 
 def _strip_legacy(tree: Mapping[str, Any], prefix: str = "") -> dict:
     out = {}
@@ -31,6 +41,11 @@ def _strip_legacy(tree: Mapping[str, Any], prefix: str = "") -> dict:
         path = f"{prefix}{k}"
         if path in _LEGACY_KEYS:
             warnings.warn(f"dropping legacy (GPU-era) config key {path!r}")
+            continue
+        if path in _SUPERSEDED_KEYS:
+            warnings.warn(
+                f"dropping superseded config key {path!r}: {_SUPERSEDED_KEYS[path]}"
+            )
             continue
         out[k] = _strip_legacy(v, path + ".") if isinstance(v, Mapping) else v
     return out

@@ -85,7 +85,11 @@ def default_config() -> ConfigNode:
                 "save_dir": None,
                 "type": None,  # 'IAS', 'CBST', 'CT', 'NT'
                 "ias": {"alpha": 0.2, "beta": 0.9, "gamma": 8.0},
-                "cbst": {"p": 0.2, "sample_interval": 4},
+                # NOTE: the reference's cbst.sample_interval (a memory bound on
+                # its host-side sampled probability store) is superseded by the
+                # on-device histogram quantiles (num_hist_bins below) and is
+                # dropped by the loader with a warning.
+                "cbst": {"p": 0.2},
                 "ct": {"threshold": 0.9},
                 # on-device quantile fidelity: number of histogram bins over
                 # [0, 1] for max-probability quantiles (4.9e-4 resolution at

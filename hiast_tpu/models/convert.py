@@ -15,6 +15,12 @@ Key mapping (torch -> flax):
     representation.0               -> representation
     D.convN / D.classifier         -> D/convN, D/classifier
 Conv kernels transpose OIHW -> HWIO.
+
+A raw torchvision ResNet checkpoint (``resnet101-*.pth``: prefix-less
+``conv1.weight`` / ``layer1.0...`` keys plus ``fc.*``) is detected and mapped
+into the ``backbone.`` namespace with the classifier head dropped — the same
+ImageNet initialization the reference performs at model build (reference:
+code/sseg/models/modules/resnet.py:193-214).
 """
 from __future__ import annotations
 
@@ -22,6 +28,30 @@ import re
 from typing import Dict, Mapping
 
 import numpy as np
+
+_TORCHVISION_DROP = ("fc.",)
+
+
+def is_torchvision_resnet_layout(keys) -> bool:
+    """True for a bare torchvision ResNet state_dict (no HIAST namespaces)."""
+    bare = {k.split("module.", 1)[-1] for k in keys}
+    if not any(k.startswith("conv1.") for k in bare):
+        return False
+    return not any(
+        k.startswith(("backbone.", "seg_model.", "aspp.", "representation.", "D."))
+        for k in bare
+    )
+
+
+def _rewrite_torchvision_keys(state_dict: Mapping) -> dict:
+    """conv1/layer*/bn1 -> backbone.*, drop the ImageNet classifier head."""
+    out = {}
+    for k, v in state_dict.items():
+        bare = k.split("module.", 1)[-1]
+        if bare.startswith(_TORCHVISION_DROP):
+            continue
+        out[f"backbone.{bare}"] = v
+    return out
 
 
 def _flax_path(torch_key: str) -> tuple[str, ...] | None:
@@ -51,6 +81,8 @@ def torch_state_dict_to_flax(state_dict: Mapping[str, "np.ndarray"]) -> dict:
 
     Accepts tensors or numpy arrays; returns numpy arrays (cast to float32).
     """
+    if is_torchvision_resnet_layout(state_dict.keys()):
+        state_dict = _rewrite_torchvision_keys(state_dict)
     params: Dict = {}
     batch_stats: Dict = {}
 

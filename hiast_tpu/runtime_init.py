@@ -6,9 +6,44 @@ CUDA kernels were precompiled) skip the 30-100 s TPU compiles.
 """
 from __future__ import annotations
 
+import logging
 import os
 
 _DONE = False
+
+log = logging.getLogger("hiast_tpu")
+
+
+def coordinator_address() -> str | None:
+    """Coordinator env var routing (either spelling the JAX runtime accepts)."""
+    return os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    )
+
+
+def init_distributed(initialize=None) -> bool:
+    """Multi-host init: one call replaces the reference's port search + NCCL
+    TCP rendezvous (code/train.py:58-59, base_trainer.py:42-47).
+
+    Returns True iff multi-host initialization ran. A configured-but-failing
+    coordinator RAISES — silently degrading to a single-host run would train
+    on 1/N of the data while claiming the full job. ``initialize`` is
+    injectable for tests.
+    """
+    addr = coordinator_address()
+    if not addr:
+        return False
+    if initialize is None:
+        import jax
+
+        initialize = jax.distributed.initialize
+    try:
+        initialize()
+    except Exception as e:
+        log.error("multi-host initialization FAILED (coordinator=%s): %s", addr, e)
+        raise
+    log.info("multi-host runtime initialized (coordinator=%s)", addr)
+    return True
 
 
 def init_runtime(cache_dir: str | None = None) -> None:
@@ -23,14 +58,11 @@ def init_runtime(cache_dir: str | None = None) -> None:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:  # noqa: BLE001 - cache is an optimization only
-        pass
+    except (OSError, AttributeError) as e:  # cache is an optimization only
+        log.warning("persistent compilation cache disabled: %s", e)
 
-    # multi-host: one call replaces the reference's port search + NCCL TCP
-    # rendezvous (code/train.py:58-59, base_trainer.py:42-47); a no-op on a
-    # single host without coordinator env vars.
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS"):
-        try:
-            jax.distributed.initialize()
-        except Exception:  # noqa: BLE001 - single-host fallback
-            pass
+    init_distributed()
+    log.info(
+        "runtime: platform=%s devices=%d processes=%d",
+        jax.default_backend(), jax.device_count(), jax.process_count(),
+    )

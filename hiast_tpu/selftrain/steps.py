@@ -137,6 +137,7 @@ def make_consistency_step(segmentor, tx, strong_aug: str | None = "CCA") -> Call
     update, EMA update — one program."""
     cfg = segmentor.cfg
     ema_gamma = cfg.cst_training.ema_model.gamma
+    ema_iter_update = max(1, int(cfg.cst_training.ema_model.iter_update))
     hard_teacher = cfg.cst_training.cst_loss.type == "CE"
 
     def step(state: TrainState, batch, rng):
@@ -172,11 +173,19 @@ def make_consistency_step(segmentor, tx, strong_aug: str | None = "CCA") -> Call
 
         grads, (losses, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)
         new_state = _apply_updates(state, tx, grads, losses, new_bs)
-        # EMA of params; buffers (batch_stats) track the student wholesale
+        # EMA of params every `iter_update` iterations (reference consistency
+        # trainer :69-71); buffers (batch_stats) track the student wholesale
         # (reference utils.py:115-123 copies buffers each update)
-        new_state = new_state.replace(
-            ema_params=ema_update(state.ema_params, new_state.params, ema_gamma)
-        )
+        if ema_iter_update == 1:
+            new_ema = ema_update(state.ema_params, new_state.params, ema_gamma)
+        else:
+            new_ema = jax.lax.cond(
+                new_state.step % ema_iter_update == 0,
+                lambda ema, p: ema_update(ema, p, ema_gamma),
+                lambda ema, p: ema,
+                state.ema_params, new_state.params,
+            )
+        new_state = new_state.replace(ema_params=new_ema)
         return new_state, losses
 
     return step

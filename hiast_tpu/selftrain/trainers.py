@@ -95,6 +95,13 @@ class BaseTrainer:
             jax.random.PRNGKey(cfg.train.random_seed), (1, ch, cw, 3)
         )
         variables = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+        # ImageNet (or other) backbone init, applied BEFORE any resume so a
+        # resume checkpoint wins — the reference builds its backbone from
+        # torchvision ImageNet weights (code/sseg/models/modules/resnet.py:193-214)
+        pretrained = cfg.model.seg_model.pretrained
+        if pretrained:
+            variables = load_weights(pretrained, variables)
+            self.logger.info(f"initialized from pretrained weights {pretrained}")
         resume = cfg.train.resume_from
         if resume and not os.path.isdir(resume):  # weights-only (.pth)
             variables = load_weights(resume, variables)

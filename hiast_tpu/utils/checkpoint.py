@@ -81,27 +81,55 @@ def load_weights(path: str, target_variables: Any | None = None) -> dict:
 
             variables = torch_state_dict_to_flax(state)
     if target_variables is not None:
-        variables = merge_intersecting(target_variables, variables)
+        variables = merge_intersecting(target_variables, variables, origin=path)
     return variables
 
 
-def merge_intersecting(target: Any, source: Any) -> Any:
-    """Copy source leaves into target wherever paths+shapes match."""
+def merge_intersecting(target: Any, source: Any, *, origin: str = "checkpoint") -> Any:
+    """Copy source leaves into target wherever paths+shapes match.
 
-    def merge(t, s):
+    Loud partial-load semantics (the reference prints what it loaded,
+    code/utils/utils.py:85): the matched/unmatched counts are logged, and a
+    load where NOTHING matches — e.g. a wrong-layout file — raises instead of
+    silently returning the target unchanged.
+    """
+    matched: list = []
+    skipped: list = []
+
+    def merge(t, s, path):
         if isinstance(t, dict):
             return {
-                k: merge(t[k], s[k]) if isinstance(s, dict) and k in s else t[k]
+                k: merge(t[k], s[k], path + (k,))
+                if isinstance(s, dict) and k in s
+                else t[k]
                 for k in t
             }
         if s is None:
             return t
         s_arr = np.asarray(s)
         if tuple(np.shape(t)) == tuple(s_arr.shape):
+            matched.append(path)
             return s_arr.astype(np.asarray(t).dtype)
+        skipped.append((path, tuple(s_arr.shape), tuple(np.shape(t))))
         return t
 
-    return merge(target, source)
+    out = merge(target, source, ())
+    n_target = len(jax.tree.leaves(target))
+    import logging
+
+    log = logging.getLogger("hiast_tpu")
+    log.info(
+        "load %s: matched %d / %d target leaves (%d shape-mismatched)",
+        origin, len(matched), n_target, len(skipped),
+    )
+    for path, got, want in skipped[:10]:
+        log.warning("  shape mismatch at %s: ckpt %s vs model %s", "/".join(path), got, want)
+    if not matched:
+        raise ValueError(
+            f"checkpoint {origin!r} shares no parameter with the target model "
+            f"(0 of {n_target} leaves matched) — wrong layout or wrong model"
+        )
+    return out
 
 
 def export_pth(path: str, variables: Any) -> None:

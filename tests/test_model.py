@@ -46,14 +46,14 @@ class TorchBottleneck(tnn.Module):
 
 
 class TorchBackbone(tnn.Module):
-    def __init__(self):
+    def __init__(self, layers=LAYERS):
         super().__init__()
         self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
         self.bn1 = tnn.BatchNorm2d(64)
         self.maxpool = tnn.MaxPool2d(3, stride=2, padding=1)
         spec = [(64, 1, 1, 1), (128, 2, 1, 1), (256, 1, 1, 2), (512, 1, 2, 4)]
         inplanes = 64
-        for li, ((planes, stride, dil0, dil), depth) in enumerate(zip(spec, LAYERS)):
+        for li, ((planes, stride, dil0, dil), depth) in enumerate(zip(spec, layers)):
             blocks = []
             for bi in range(depth):
                 first = bi == 0
@@ -75,9 +75,9 @@ class TorchBackbone(tnn.Module):
 
 
 class TorchDeepLabV2(tnn.Module):
-    def __init__(self, num_classes=19):
+    def __init__(self, num_classes=19, layers=LAYERS):
         super().__init__()
-        self.backbone = TorchBackbone()
+        self.backbone = TorchBackbone(layers)
         self.aspp_convs = tnn.ModuleList(
             [tnn.Conv2d(2048, num_classes, 3, padding=d, dilation=d) for d in (6, 12, 18, 24)]
         )
@@ -147,6 +147,33 @@ def test_convert_roundtrip(torch_model):
         if k.endswith("num_batches_tracked"):
             continue
         np.testing.assert_array_equal(back[k], v.numpy(), err_msg=k)
+
+
+def test_deeplab_full_depth_matches_torch():
+    """Full (3,4,23,3) R101 parity: depth-dependent wiring — dilation applied
+    to blocks >= 1 of layer3/4, layerL_B naming, downsample only at block 0 —
+    is exactly what the 1-block twin above cannot catch (reference:
+    code/sseg/models/modules/resnet.py:101-190, deeplab_v2.py:42-56)."""
+    layers = (3, 4, 23, 3)
+    torch.manual_seed(3)
+    twin = TorchDeepLabV2(layers=layers).eval()
+    for m in twin.modules():
+        if isinstance(m, tnn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.2)
+            m.running_var.uniform_(0.8, 1.5)
+            m.weight.data.normal_(1.0, 0.1)
+            m.bias.data.normal_(0, 0.1)
+    variables = torch_state_dict_to_flax(twin.state_dict_reference_names())
+    variables = jax.tree.map(jnp.asarray, variables)
+    flax_model = DeepLabV2(num_classes=19, backbone_layers=layers)
+
+    x = np.random.default_rng(4).normal(size=(1, 33, 49, 3)).astype(np.float32)
+    with torch.no_grad():
+        want_logits, _ = twin(torch.from_numpy(np.moveaxis(x, -1, 1)))
+    got = flax_model.apply(variables, jnp.asarray(x), train=False)
+    want = np.moveaxis(want_logits.numpy(), 1, -1)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(np.asarray(got["logits"]), want, atol=2e-3 * max(scale, 1.0))
 
 
 def test_discriminator_shapes():

@@ -157,6 +157,29 @@ class TestConsistencyStep:
         assert np.abs(ema - old).max() > 0
         assert np.abs(ema - old).max() < np.abs(stu - old).max()
 
+    def test_ema_iter_update_skips_updates(self):
+        """cst_training.ema_model.iter_update=k updates the EMA only every k
+        iterations (reference consistency_self_training_trainer.py:69-71)."""
+        cfg = tiny_cfg(**{
+            "cst_training.is_enabled": True,
+            "cst_training.cst_loss.weight": 0.5,
+            "cst_training.ema_model.iter_update": 2,
+        })
+        segmentor = build_segmentor(cfg, dtype=jnp.float32, backbone_layers=TINY)
+        state, tx, _ = init_state(cfg, segmentor, with_ema=True)
+        step = jax.jit(make_consistency_step(segmentor, tx, strong_aug=None))
+        batch = make_batch()
+        ema0 = np.asarray(state.ema_params["backbone"]["conv1"]["kernel"])
+        state, _ = step(state, batch, jax.random.PRNGKey(0))  # step=1: skip
+        np.testing.assert_array_equal(
+            np.asarray(state.ema_params["backbone"]["conv1"]["kernel"]), ema0
+        )
+        state, _ = step(state, batch, jax.random.PRNGKey(1))  # step=2: update
+        assert (
+            np.abs(np.asarray(state.ema_params["backbone"]["conv1"]["kernel"]) - ema0).max()
+            > 0
+        )
+
     def test_hard_teacher_when_ce(self):
         cfg = tiny_cfg(**{
             "cst_training.is_enabled": True,
