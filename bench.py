@@ -19,11 +19,41 @@ import numpy as np
 
 REFERENCE_TRAIN_IMGS_PER_SEC_PER_GPU = 5.0  # documented estimate, see module docstring
 
+# bf16 peak per chip by device kind (MFU denominator)
+_PEAK_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,  # v5e
+    "TPU v5": 459e12,  # v5p
+    "TPU v6 lite": 918e12,  # v6e
+}
+
 
 def _sync(x) -> float:
     """Force a scalar D2H transfer — the only reliable sync on the tunneled
     TPU platform (block_until_ready returns early there)."""
     return float(np.asarray(x).ravel()[0])
+
+
+def _chip_peak_flops() -> float | None:
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    for prefix, peak in sorted(_PEAK_FLOPS.items(), key=lambda kv: -len(kv[0])):
+        if kind.startswith(prefix):
+            return peak
+    return None
+
+
+def _compiled_flops(jitted, *args) -> float | None:
+    """Per-execution FLOPs from XLA cost analysis (None if unavailable)."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", float("nan")))
+        return flops if np.isfinite(flops) and flops > 0 else None
+    except Exception:  # noqa: BLE001 - optional diagnostics
+        return None
 
 
 def bench_train_step(batch_size: int, iters: int = 20):
@@ -90,10 +120,14 @@ def bench_train_step(batch_size: int, iters: int = 20):
             state, losses = step(state, batch, key)
             _sync(losses["target_seg_loss"])
         best = min(best, (time.time() - t0) / iters)
-    return batch_size / best, best
+
+    flops = _compiled_flops(step, state, batch, key)
+    peak = _chip_peak_flops()
+    mfu = (flops / best / peak) if (flops and peak) else None
+    return batch_size / best, best, mfu
 
 
-def bench_pseudo_gen(batch_size: int = 4, iters: int = 10):
+def bench_pseudo_gen(batch_size: int = 8, iters: int = 10):
     import jax
     import jax.numpy as jnp
 
@@ -140,18 +174,30 @@ def bench_pseudo_gen(batch_size: int = 4, iters: int = 10):
 
     plbl, counts, state = gen_step(variables, images, state)
     np.asarray(plbl)
-    # production fetches the label maps every batch (PNG writing) — do the
-    # same here; it is also what keeps the tunneled platform's transfer
-    # queue drained.  best-of-3 windows against transient tunnel slowdowns.
+    # production fetches the label maps every batch (PNG writing), pipelined
+    # one batch deep exactly as pseudo/generator.py:_run_select_loop does:
+    # dispatch batch k+1, then fetch batch k — the D2H of the label maps
+    # (the measured bottleneck on the tunneled platform) overlaps compute.
+    # best-of-5 windows against transient tunnel slowdowns (the label-map
+    # D2H dominates here and the tunnel's bandwidth swings 15-50 MB/s).
     best = float("inf")
-    for _window in range(3):
+    for _window in range(5):
         t0 = time.time()
+        prev = None
         for _ in range(iters):
             plbl, counts, state = gen_step(variables, images, state)
-            np.asarray(plbl)
-            np.asarray(counts)
+            if prev is not None:
+                np.asarray(prev[0])
+                np.asarray(prev[1])
+            prev = (plbl, counts)
+        np.asarray(prev[0])
+        np.asarray(prev[1])
         best = min(best, (time.time() - t0) / iters)
-    return batch_size / best, best
+
+    flops = _compiled_flops(gen_step, variables, images, state)
+    peak = _chip_peak_flops()
+    mfu = (flops / best / peak) if (flops and peak) else None
+    return batch_size / best, best, mfu
 
 
 def _run_in_subprocess(fn_name: str, *args):
@@ -178,7 +224,7 @@ def main():
     train_ips = None
     for bs in (8, 4, 2):
         try:
-            train_ips, train_dt = _run_in_subprocess("bench_train_step", bs)
+            train_ips, train_dt, train_mfu = _run_in_subprocess("bench_train_step", bs)
             train_bs = bs
             break
         except Exception as e:  # noqa: BLE001 - fall back on OOM
@@ -186,7 +232,7 @@ def main():
     if train_ips is None:
         raise last_err
 
-    pseudo_ips, pseudo_dt = _run_in_subprocess("bench_pseudo_gen")
+    pseudo_ips, pseudo_dt, pseudo_mfu = _run_in_subprocess("bench_pseudo_gen")
 
     print(
         json.dumps(
@@ -198,8 +244,11 @@ def main():
                 "details": {
                     "train_batch": train_bs,
                     "train_s_per_iter": round(train_dt, 4),
+                    "train_mfu": round(train_mfu, 4) if train_mfu else None,
                     "pseudo_gen_imgs_per_sec": round(pseudo_ips, 2),
                     "pseudo_gen_s_per_iter": round(pseudo_dt, 4),
+                    "pseudo_gen_mfu": round(pseudo_mfu, 4) if pseudo_mfu else None,
+                    "mfu_note": "XLA cost-analysis FLOPs / wall time / chip bf16 peak; pseudo-gen includes tunnel D2H of label maps in wall time",
                     "baseline_note": "vs documented estimate of 5 imgs/s/GPU for the reference fp16 PyTorch loop",
                 },
             }

@@ -169,6 +169,23 @@ class BasePseudoGenerator:
             f"pseudo-label dir {self.save_dir} is not empty"
         )
 
+    def _run_select_loop(self, step: Callable):
+        """Drive ``step(batch) -> (plbl_dev, counts_dev)`` over the dataset,
+        software-pipelined one batch deep: batch k+1's device program is
+        dispatched (async) BEFORE batch k's outputs are fetched, so the
+        device->host transfer of the label maps — the measured bottleneck on
+        slow-transfer links — overlaps the next batch's compute.  Carried
+        state (IAS thresholds) is a device-side dependency the XLA queue
+        orders correctly."""
+        prev = None
+        for batch in self.data_iter_factory():
+            plbl, counts = step(batch)
+            if prev is not None:
+                self._record_batch(np.asarray(prev[0]), np.asarray(prev[1]), prev[2])
+            prev = (plbl, counts, batch["image_paths"])
+        if prev is not None:
+            self._record_batch(np.asarray(prev[0]), np.asarray(prev[1]), prev[2])
+
     def run(self):
         raise NotImplementedError
 
@@ -185,10 +202,14 @@ class ConstantThresholdGenerator(BasePseudoGenerator):
         self.prepare_dirs()
         thresholds = self.initial_thresholds()
         cmp = jnp.asarray(self.class_mean_probs)
-        for batch in self.data_iter_factory():
+
+        def step(batch):
+            nonlocal cmp
             logits, _ = self._forward(batch["images"])
             plbl, counts, cmp = self._select_step(logits, thresholds, cmp)
-            self._record_batch(np.asarray(plbl), np.asarray(counts), batch["image_paths"])
+            return plbl, counts
+
+        self._run_select_loop(step)
         self.class_mean_probs = np.asarray(cmp)
         if thresholds is not None:
             self.class_threshold = np.asarray(thresholds)
@@ -252,10 +273,14 @@ class IASGenerator(BasePseudoGenerator):
             thresholds=jnp.full((self.num_classes,), 0.9, jnp.float32),
             class_mean_probs=jnp.zeros((self.num_classes,), jnp.float32),
         )
-        for batch in self.data_iter_factory():
+
+        def step(batch):
+            nonlocal state
             full, stats_logits = self._forward(batch["images"])
             plbl, counts, state = self._ias_step(full, stats_logits, state)
-            self._record_batch(np.asarray(plbl), np.asarray(counts), batch["image_paths"])
+            return plbl, counts
+
+        self._run_select_loop(step)
         self.class_threshold = np.asarray(state.thresholds)
         self.class_mean_probs = np.asarray(state.class_mean_probs)
         self.save_data()

@@ -192,6 +192,75 @@ def make_consistency_step(segmentor, tx, strong_aug: str | None = "CCA") -> Call
 
 
 # ---------------------------------------------------------------------------
+# mutual learning (the reference's latent mut_training surface:
+# default_config.py:159-167, self_training_segmentor.py:55-61 — two students
+# teach each other through soft targets; here both live in ONE jit program)
+# ---------------------------------------------------------------------------
+def make_mutual_step(segmentor, tx, strong_aug: str | None = None) -> Callable:
+    """Two students (params / peer_params) train on the same pseudo-labeled
+    batch; each additionally matches the OTHER's soft prediction (stop-grad)
+    on the configured region.  With ``mut_training.is_strong_input`` each
+    student trains on its own strongly-augmented view while the peer targets
+    come from the weak view — the mutual analog of the consistency step."""
+    cfg = segmentor.cfg
+    strong_input = cfg.mut_training.is_strong_input and strong_aug is not None
+
+    def step(state: TrainState, batch, rng):
+        weak_raw = batch["t_img"].astype(jnp.float32)
+        rng_a, rng_b = jax.random.split(rng)
+        if strong_input:
+            in_a = normalize_image(batched_color_aug(weak_raw, rng_a, kind=strong_aug))
+            in_b = normalize_image(batched_color_aug(weak_raw, rng_b, kind=strong_aug))
+        else:
+            in_a = in_b = normalize_image(weak_raw)
+        weak = normalize_image(weak_raw)
+
+        # peer soft targets from the weak view, eval mode, no gradients
+        def soft_target(params, batch_stats):
+            logits = _forward_for_loss(
+                segmentor, {"params": params, "batch_stats": batch_stats}, weak,
+                train=False,
+            )["logits"]
+            return jax.lax.stop_gradient(jax.nn.softmax(logits, axis=-1))
+
+        tgt_from_a = soft_target(state.params, state.batch_stats)
+        tgt_from_b = soft_target(state.peer_params, state.peer_batch_stats)
+        plbl_full = batch["t_plbl"].astype(jnp.int32)
+        plbl = _labels_for_loss(segmentor, plbl_full, tgt_from_a)
+
+        def one_student(params, batch_stats, img, mut_target):
+            out, new_model = _forward_for_loss(
+                segmentor, {"params": params, "batch_stats": batch_stats},
+                img, train=True, mutable=["batch_stats"],
+            )
+            losses = segmentor.compute_loss(out["logits"], plbl)
+            losses.update(segmentor.compute_mutual_loss(out["logits"], plbl, mut_target))
+            return losses, new_model["batch_stats"]
+
+        def loss_fn(params_a, params_b):
+            losses_a, bs_a = one_student(params_a, state.batch_stats, in_a, tgt_from_b)
+            losses_b, bs_b = one_student(
+                params_b, state.peer_batch_stats, in_b, tgt_from_a
+            )
+            total = _total_loss(losses_a) + _total_loss(losses_b)
+            merged = {**losses_a, **{f"peer_{k}": v for k, v in losses_b.items()}}
+            return total, (merged, bs_a, bs_b)
+
+        grads = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)
+        (g_a, g_b), (losses, bs_a, bs_b) = grads(state.params, state.peer_params)
+
+        new_state = _apply_updates(state, tx, g_a, losses, bs_a)
+        upd_b, new_opt_b = tx.update(g_b, state.peer_opt_state, state.peer_params)
+        new_peer = jax.tree.map(lambda p, u: p + u, state.peer_params, upd_b)
+        new_state = new_state.replace(
+            peer_params=new_peer, peer_batch_stats=bs_b, peer_opt_state=new_opt_b
+        )
+        return new_state, losses
+
+    return step
+
+
+# ---------------------------------------------------------------------------
 # adversarial warmup (reference adversarial_warmup_trainer.py)
 # ---------------------------------------------------------------------------
 def make_adversarial_step(segmentor, tx, d_tx) -> Callable:

@@ -31,6 +31,11 @@ class TrainState:
     ema_params: Any = None
     d_params: Any = None
     d_opt_state: Any = None
+    # mutual learning: the peer student (reference mut_training surface,
+    # code/utils/default_config.py:159-167)
+    peer_params: Any = None
+    peer_batch_stats: Any = None
+    peer_opt_state: Any = None
 
 
 def lr_schedule(cfg):

@@ -360,6 +360,72 @@ class ConsistencySelfTrainingTrainer(SelfTrainingTrainer):
         self.ema_recorder.report_end_info()
 
 
+@TRAINER.register("MutualLearningTrainer")
+class MutualLearningTrainer(SelfTrainingTrainer):
+    """Two students co-train on pseudo labels, each matching the other's soft
+    prediction (the reference's latent ``mut_training`` surface,
+    code/utils/default_config.py:159-167; loss protocol from the vestigial
+    compute_mutual_loss, self_training_segmentor.py:55-61).  Both students
+    run in ONE jit program; the peer resumes from ``mut_training.resume_from``
+    when set, else from an independent random init."""
+
+    def assert_cfg(self):
+        super().assert_cfg()
+        assert self.cfg.mut_training.is_enabled, "mut_training.is_enabled required"
+        assert self.cfg.mut_training.mut_loss.weight > 0
+
+    def extra_state(self, variables):
+        cfg = self.cfg
+        ch, cw = cfg.dataset.crop_size
+        peer = self.segmentor.init_variables(
+            jax.random.PRNGKey(cfg.train.random_seed + 13), (1, ch, cw, 3)
+        )
+        peer = {"params": peer["params"], "batch_stats": peer["batch_stats"]}
+        if cfg.mut_training.resume_from:
+            peer = load_weights(cfg.mut_training.resume_from, peer)
+            self.logger.info(f"peer resumed weights from {cfg.mut_training.resume_from}")
+        return {
+            "peer_params": peer["params"],
+            "peer_batch_stats": peer["batch_stats"],
+            "peer_opt_state": self.tx.init(peer["params"]),
+        }
+
+    def build_all_model(self):
+        super().build_all_model()
+        self.peer_recorder = ResultRecorder(
+            self.cfg, "peer_model", self.logger, self.writer, self.lr_fn
+        )
+
+    def make_step(self):
+        from hiast_tpu.data.augment import split_aug_types
+
+        _, strong = split_aug_types(list(self.cfg.dataset.target.aug_type))
+        return S.make_mutual_step(self.segmentor, self.tx, strong_aug=strong)
+
+    def checkpoint_tree(self) -> dict:
+        tree = super().checkpoint_tree()
+        tree["peer_params"] = self.state.peer_params
+        tree["peer_batch_stats"] = self.state.peer_batch_stats
+        tree["peer_opt_state"] = self.state.peer_opt_state
+        return tree
+
+    def validate(self, iteration: int):
+        super().validate(iteration)
+        cfg = self.cfg
+        val_iter = BatchIterator(
+            self.v_dataset, cfg.validate.batch_size, shuffle=False, drop_last=False
+        )
+        iou, miou = run_validation(
+            self.val_step, self.state.peer_params, self.state.peer_batch_stats,
+            val_iter, mesh=self.mesh,
+        )
+        self.peer_recorder.record_and_report_metrics(miou, iou, iteration)
+
+    def run(self):
+        super().run()
+        self.peer_recorder.report_end_info()
+
+
 @TRAINER.register("AdversarialWarmupTrainer")
 class AdversarialWarmupTrainer(BaseTrainer):
     needs_source = True

@@ -86,6 +86,76 @@ class TestConsistencyTrainer:
         assert trainer.ema_recorder.best_miou >= 0.0
 
 
+class TestMutualLearningTrainer:
+    def test_two_students_co_train(self, tmp_path):
+        cfg = base_cfg(tmp_path, "MutualLearningTrainer", iters=4)
+        cfg.model.type = "SelfTrainingSegmentor"
+        cfg.mut_training.is_enabled = True
+        cfg.mut_training.mut_loss.weight = 0.1
+        cfg.mut_training.is_strong_input = True
+        cfg.dataset.target.aug_type = ["CCA"]
+        train, val = synthetic_sets(with_ignore=True)
+        trainer = TRAINER[cfg.trainer](
+            cfg, datasets={"target": train, "val": val}, backbone_layers=TINY
+        )
+        # independent peer init: the two students start different
+        a0 = np.asarray(trainer.state.params["backbone"]["conv1"]["kernel"])
+        b0 = np.asarray(trainer.state.peer_params["backbone"]["conv1"]["kernel"])
+        assert np.abs(a0 - b0).max() > 0
+        trainer.run()
+        # both students actually updated, and both were validated
+        a1 = np.asarray(trainer.state.params["backbone"]["conv1"]["kernel"])
+        b1 = np.asarray(trainer.state.peer_params["backbone"]["conv1"]["kernel"])
+        assert np.abs(a1 - a0).max() > 0 and np.abs(b1 - b0).max() > 0
+        assert np.isfinite(trainer.peer_recorder.best_miou)
+        ckpts = os.listdir(os.path.join(cfg.work_dir, "checkpoints"))
+        assert "model_last" in ckpts
+
+    def test_mut_loss_present_and_finite(self, tmp_path):
+        """The mutual loss term is actually computed (not an empty dict)."""
+        import jax
+        import jax.numpy as jnp
+
+        from hiast_tpu.models.segmentors import build_segmentor
+        from hiast_tpu.selftrain.steps import make_mutual_step
+        from hiast_tpu.selftrain.train_state import TrainState, make_optimizer
+
+        from hiast_tpu.config import default_config
+
+        cfg = default_config()
+        cfg.model.type = "SelfTrainingSegmentor"
+        cfg.mut_training.is_enabled = True
+        cfg.mut_training.mut_loss.weight = 0.1
+        cfg.train.total_iter = 4
+        segmentor = build_segmentor(cfg, dtype=jnp.float32, backbone_layers=TINY)
+        v = segmentor.init_variables(jax.random.PRNGKey(0), (1, 32, 64, 3))
+        pv = segmentor.init_variables(jax.random.PRNGKey(1), (1, 32, 64, 3))
+        tx = make_optimizer(cfg, v["params"])
+        state = TrainState(
+            step=np.zeros((), np.int32),
+            params=v["params"],
+            batch_stats=v["batch_stats"],
+            opt_state=tx.init(v["params"]),
+            peer_params=pv["params"],
+            peer_batch_stats=pv["batch_stats"],
+            peer_opt_state=tx.init(pv["params"]),
+        )
+        rng = np.random.default_rng(3)
+        batch = {
+            "t_img": rng.integers(0, 255, size=(2, 32, 64, 3)).astype(np.uint8),
+            "t_plbl": np.where(
+                rng.random(size=(2, 32, 64)) < 0.4, 255, rng.integers(0, 19, size=(2, 32, 64))
+            ).astype(np.int32),
+        }
+        import jax as _jax
+
+        step = _jax.jit(make_mutual_step(segmentor, tx))
+        _, losses = step(state, batch, _jax.random.PRNGKey(0))
+        assert "mut_loss" in losses and "peer_mut_loss" in losses
+        for k, val in losses.items():
+            assert np.isfinite(float(val)), k
+
+
 class TestAdversarialTrainer:
     def test_runs(self, tmp_path):
         cfg = base_cfg(tmp_path, "AdversarialWarmupTrainer", iters=4)
