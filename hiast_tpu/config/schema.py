@@ -118,6 +118,8 @@ def default_config() -> ConfigNode:
                 "resume_from": None,
                 "random_seed": 888,
                 "is_save_all": False,
+                # vestigial in the reference too (default_config.py:114 — set,
+                # never read); kept so reference YAMLs load, never consumed.
                 "is_debug": False,
                 "total_iter": 10000,
                 "iter_report": 100,
@@ -170,7 +172,9 @@ def default_config() -> ConfigNode:
             "preprocessor": {
                 "type": None,  # 'CopyPaste'
                 "copy_paste": {
-                    "mode": "original",
+                    "mode": "original",  # only supported mode (asserted, as in the reference)
+                    # vestigial in the reference too (default_config.py:174 —
+                    # set, never read); kept so reference YAMLs load.
                     "name": "normal",
                     "selected_num_classes": 14,  # number of hard classes per image
                     "gamma": 0.99,  # EMA factor for class mean probabilities
@@ -194,8 +198,9 @@ def default_config() -> ConfigNode:
                 # memory — enables bigger batches / MiT-B5 at full res.
                 "remat": False,
                 "checkpoint": {
+                    # with train.is_save_all: prune per-iteration checkpoints
+                    # beyond the newest `keep` (last/best/mid are always kept)
                     "keep": 3,
-                    "async_save": True,
                 },
                 "profile": {
                     "enabled": False,

@@ -34,6 +34,10 @@ class CopyPaste:
     def __init__(self, cfg, dataset_copy_from, init_class_value: np.ndarray):
         self.cfg = cfg
         self.dataset = dataset_copy_from
+        # the reference rejects its own latent non-'original' modes
+        # (preprocessor.py:64-68); mirror that loudly
+        mode = cfg.preprocessor.copy_paste.mode
+        assert mode == "original", f"unsupported copy_paste.mode {mode!r}"
 
         class_value = np.asarray(init_class_value, np.float64).copy()
         if cfg.dataset.source.type == "SYNTHIA":

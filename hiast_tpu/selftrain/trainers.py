@@ -78,6 +78,7 @@ class BaseTrainer:
             os.path.join(work_dir, "checkpoints"),
             self.cfg.train.total_iter,
             self.cfg.train.is_save_all,
+            keep=self.cfg.runtime.checkpoint.keep,
         )
 
     def _compute_dtype(self):

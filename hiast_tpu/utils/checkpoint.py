@@ -146,18 +146,43 @@ def export_pth(path: str, variables: Any) -> None:
 
 
 class CheckpointPolicy:
-    """last / best / mid / per-iter save policy (reference base_trainer.py:188-198)."""
+    """last / best / mid / per-iter save policy (reference base_trainer.py:188-198).
 
-    def __init__(self, ckpt_dir: str, total_iter: int, is_save_all: bool = False):
+    ``keep`` bounds the per-iteration saves (``is_save_all``): only the
+    newest ``keep`` <name>_iter_* checkpoints survive; last/best/mid are
+    never pruned.  The reference keeps every per-iter save — at ~170 MB of
+    fp32 params each, a 3-round run fills a disk; pruning is the superset
+    behavior with a bound.
+    """
+
+    def __init__(
+        self, ckpt_dir: str, total_iter: int, is_save_all: bool = False, keep: int = 3
+    ):
         self.ckpt_dir = ckpt_dir
         self.total_iter = total_iter
         self.is_save_all = is_save_all
+        self.keep = keep
         os.makedirs(ckpt_dir, exist_ok=True)
         self._mid_saved = False
+
+    def _prune_iter_saves(self, name: str) -> None:
+        import re
+        import shutil
+
+        pat = re.compile(rf"^{re.escape(name)}_iter_(\d+)$")
+        found = []
+        for entry in os.listdir(self.ckpt_dir):
+            m = pat.match(entry)
+            if m:
+                found.append((int(m.group(1)), entry))
+        for _, entry in sorted(found)[: max(0, len(found) - self.keep)]:
+            shutil.rmtree(os.path.join(self.ckpt_dir, entry))
 
     def save(self, name: str, state_tree: Any, iteration: int, is_best: bool) -> None:
         if self.is_save_all:
             save_train_state(self.ckpt_dir, f"{name}_iter_{iteration}", state_tree)
+            if self.keep and self.keep > 0:
+                self._prune_iter_saves(name)
         save_train_state(self.ckpt_dir, f"{name}_last", state_tree)
         if is_best:
             save_train_state(self.ckpt_dir, f"{name}_best", state_tree)

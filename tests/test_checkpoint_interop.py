@@ -119,6 +119,23 @@ def test_wrong_layout_raises(tmp_path, tiny_variables):
         load_weights(pth, tiny_variables)
 
 
+def test_save_all_keeps_only_newest_k(tmp_path):
+    """runtime.checkpoint.keep bounds per-iteration saves; last/best/mid
+    are never pruned."""
+    from hiast_tpu.utils.checkpoint import CheckpointPolicy
+
+    import os
+
+    policy = CheckpointPolicy(str(tmp_path), total_iter=10, is_save_all=True, keep=2)
+    tree = {"w": np.zeros((2,), np.float32)}
+    for it in (1, 2, 3, 4):
+        policy.save("model", tree, it, is_best=(it == 1))
+    names = set(os.listdir(tmp_path))
+    assert "model_iter_3" in names and "model_iter_4" in names
+    assert "model_iter_1" not in names and "model_iter_2" not in names
+    assert {"model_last", "model_best"} <= names
+
+
 def test_partial_load_logs_counts(tmp_path, torchvision_state_dict, tiny_variables, caplog):
     import logging
 
