@@ -128,7 +128,9 @@ def default_config() -> ConfigNode:
                 # input resolution first (exact reference semantics,
                 # self_training_segmentor.py:27); 'os8' computes them on the
                 # stride-8 logits grid against nearest-downsampled labels
-                # (~25% faster per step, statistically equivalent objective).
+                # (statistically equivalent objective; measured neutral on
+                # throughput at batch 8 — XLA fuses the full-res losses —
+                # see PERF.md ablation).
                 "loss_resolution": "full",
                 "lr_scheduler": {
                     "type": "Cosine",  # 'Cosine', 'Poly'

@@ -47,11 +47,30 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, tree):
-    """Device-put a host batch pytree with the batch axis sharded."""
+    """Device-put a host batch pytree with the batch axis sharded.
+
+    Multi-host: each process passes its PROCESS-LOCAL slice of the global
+    batch (global_batch / process_count samples — the DistributedSampler
+    analog, reference base_trainer.py:68,81) and the global array is
+    assembled across hosts without any cross-DCN data movement.
+    """
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+            tree,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
 def replicate(mesh: Mesh, tree):
+    """Replicate a pytree over the mesh.  Multi-host: every process holds the
+    same values by construction (identical PRNG seeding / checkpoint), so the
+    local copy IS the global replicated array."""
     sharding = replicated(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+            tree,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

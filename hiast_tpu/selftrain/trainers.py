@@ -158,12 +158,25 @@ class BaseTrainer:
         n = self.cfg.dataset.num_workers
         return n if n and n > 0 else None  # None -> auto (cpu_count - 1)
 
+    def _local_batch(self) -> int:
+        """Per-process share of the GLOBAL batch (DistributedSampler analog,
+        reference train.py:52-54 + base_trainer.py:68); on a single host this
+        is the global batch itself."""
+        n = jax.process_count()
+        b = self.cfg.train.batch_size
+        assert b % n == 0, f"global batch {b} not divisible by {n} processes"
+        return b // n
+
+    def _stream_seed(self, offset: int) -> int:
+        """Distinct per-process sample streams (set_epoch-style reseed)."""
+        return self.cfg.train.random_seed + offset + 7919 * jax.process_index()
+
     def build_train_data_reader(self):
         cfg = self.cfg
         if self.needs_source:
             ds = self.datasets.get("source") or build_dataset(cfg, "source")
             self.s_stream = infinite_batches(
-                ds, cfg.train.batch_size, seed=cfg.train.random_seed,
+                ds, self._local_batch(), seed=self._stream_seed(0),
                 num_workers=self._workers(),
             )
         if self.needs_target:
@@ -172,7 +185,7 @@ class BaseTrainer:
             )
             self.t_dataset = ds
             self.t_stream = infinite_batches(
-                ds, cfg.train.batch_size, seed=cfg.train.random_seed + 1,
+                ds, self._local_batch(), seed=self._stream_seed(1),
                 num_workers=self._workers(),
             )
 
@@ -188,24 +201,61 @@ class BaseTrainer:
             )
 
     # -- loop ----------------------------------------------------------------
+    def _install_preemption_handler(self):
+        """TPU VMs are preempted with SIGTERM; convert it into a graceful
+        end-of-iteration full-state checkpoint + clean stop (resumable via
+        train.resume_from=<work_dir>/checkpoints/model_last).  The reference
+        loses the run on any mid-run failure (SURVEY §5.3)."""
+        import signal
+
+        self._stop_requested = False
+
+        def handler(signum, frame):
+            self._stop_requested = True
+            self.logger.warning(
+                f"received signal {signum}: will checkpoint and stop after this iteration"
+            )
+
+        try:
+            self._prev_sigterm = signal.signal(signal.SIGTERM, handler)
+        except ValueError:  # not the main thread (e.g. embedded use)
+            self._prev_sigterm = None
+
+    def _restore_preemption_handler(self):
+        import signal
+
+        if getattr(self, "_prev_sigterm", None) is not None:
+            signal.signal(signal.SIGTERM, self._prev_sigterm)
+
     def run(self):
         cfg = self.cfg
         self.logger.info("=" * 100)
         self.logger.info(f"config:\n{cfg.dump()}")
         self.logger.info("=" * 100)
         self.model_recorder.reset_time_and_losses()
+        self._install_preemption_handler()
 
-        start = int(np.asarray(self.state.step)) + 1  # mid-run resume support
-        for it in range(start, cfg.train.total_iter + 1):
-            self.profiler.step(it)
-            batch = shard_batch(self.mesh, self.next_batch())
-            rng = jax.random.fold_in(self.base_rng, it)
-            self.state, losses = self.step_fn(self.state, batch, rng)
-            self.model_recorder.record_losses(losses)
-            if it % cfg.train.iter_report == 0:
-                self.model_recorder.report_losses(it)
-            if self.val_step is not None and it % cfg.train.iter_val == 0:
-                self.validate(it)
+        try:
+            start = int(np.asarray(self.state.step)) + 1  # mid-run resume support
+            for it in range(start, cfg.train.total_iter + 1):
+                self.profiler.step(it)
+                batch = shard_batch(self.mesh, self.next_batch())
+                rng = jax.random.fold_in(self.base_rng, it)
+                self.state, losses = self.step_fn(self.state, batch, rng)
+                self.model_recorder.record_losses(losses)
+                if it % cfg.train.iter_report == 0:
+                    self.model_recorder.report_losses(it)
+                if self.val_step is not None and it % cfg.train.iter_val == 0:
+                    self.validate(it)
+                if self._stop_requested:
+                    self.save_checkpoint(it, is_best=False)
+                    self.logger.warning(
+                        f"preemption checkpoint saved at iter {it}; resume with "
+                        f"train.resume_from={self.ckpt.ckpt_dir}/model_last"
+                    )
+                    break
+        finally:
+            self._restore_preemption_handler()
         self.model_recorder.report_end_info()
 
     def validate(self, iteration: int):
@@ -314,7 +364,7 @@ class ConsistencySelfTrainingTrainer(SelfTrainingTrainer):
             ds.set_preprocessor(PREPROCESSOR[cfg.preprocessor.type](cfg, ds, class_value))
         self.t_dataset = ds
         self.t_stream = infinite_batches(
-            ds, cfg.train.batch_size, seed=cfg.train.random_seed + 1,
+            ds, self._local_batch(), seed=self._stream_seed(1),
             num_workers=self._workers(),
         )
 

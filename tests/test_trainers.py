@@ -86,6 +86,50 @@ class TestConsistencyTrainer:
         assert trainer.ema_recorder.best_miou >= 0.0
 
 
+class TestPreemption:
+    def test_sigterm_checkpoints_and_stops(self, tmp_path):
+        """SIGTERM mid-run -> full-state checkpoint + clean stop; resume
+        continues from the saved step (TPU-preemption robustness, a superset
+        of the reference which loses the run, SURVEY §5.3)."""
+        import signal
+
+        cfg = base_cfg(tmp_path, "SelfTrainingTrainer", iters=50)
+        cfg.model.type = "SelfTrainingSegmentor"
+        cfg.train.iter_val = 100  # no validation-time checkpoints
+        train, val = synthetic_sets(with_ignore=True)
+        trainer = TRAINER[cfg.trainer](
+            cfg, datasets={"target": train, "val": val}, backbone_layers=TINY
+        )
+
+        orig_record = trainer.model_recorder.record_losses
+        calls = {"n": 0}
+
+        def record_and_preempt(losses):
+            calls["n"] += 1
+            if calls["n"] == 3:
+                os.kill(os.getpid(), signal.SIGTERM)
+            return orig_record(losses)
+
+        trainer.model_recorder.record_losses = record_and_preempt
+        trainer.run()
+        stopped_at = int(np.asarray(trainer.state.step))
+        assert stopped_at < 50 and stopped_at >= 3
+        ckpt = os.path.join(cfg.work_dir, "checkpoints", "model_last")
+        assert os.path.isdir(ckpt)
+        # the default handler is restored after run()
+        assert signal.getsignal(signal.SIGTERM) in (signal.SIG_DFL, signal.default_int_handler)
+
+        cfg2 = base_cfg(tmp_path / "resumed", "SelfTrainingTrainer", iters=stopped_at + 2)
+        cfg2.model.type = "SelfTrainingSegmentor"
+        cfg2.train.resume_from = ckpt
+        trainer2 = TRAINER[cfg2.trainer](
+            cfg2, datasets={"target": train, "val": val}, backbone_layers=TINY
+        )
+        assert int(np.asarray(trainer2.state.step)) == stopped_at
+        trainer2.run()
+        assert int(np.asarray(trainer2.state.step)) == stopped_at + 2
+
+
 class TestMutualLearningTrainer:
     def test_two_students_co_train(self, tmp_path):
         cfg = base_cfg(tmp_path, "MutualLearningTrainer", iters=4)
