@@ -141,10 +141,104 @@ def mit_state_dict_to_flax(state_dict: Mapping) -> dict:
     return {"params": params, "batch_stats": batch_stats}
 
 
+def hf_segformer_state_dict_to_flax(state_dict: Mapping) -> dict:
+    """HuggingFace ``transformers`` Segformer layout -> Flax.
+
+    Hub checkpoints (e.g. ``nvidia/segformer-b5-finetuned-cityscapes``) use
+    ``segformer.encoder.*`` keys with separate ``key``/``value`` projections;
+    this adapter renames them into the NVlabs/mmseg layout (fusing key+value
+    back into the ``kv`` projection) and reuses ``mit_state_dict_to_flax``.
+    """
+
+    def arr(v):
+        return np.asarray(
+            v.detach().cpu().numpy() if hasattr(v, "detach") else v, np.float32
+        )
+
+    mit: dict = {}
+    kv_halves: dict = {}
+
+    block_renames = {
+        "layer_norm_1": "norm1",
+        "layer_norm_2": "norm2",
+        "attention.self.query": "attn.q",
+        "attention.self.sr": "attn.sr",
+        "attention.self.layer_norm": "attn.norm",
+        "attention.output.dense": "attn.proj",
+        "mlp.dense1": "mlp.fc1",
+        "mlp.dense2": "mlp.fc2",
+        "mlp.dwconv.dwconv": "mlp.dwconv.dwconv",
+    }
+
+    for key, value in state_dict.items():
+        k = key
+        if k.startswith("module."):
+            k = k[len("module."):]
+        if k.endswith("num_batches_tracked"):
+            continue
+
+        m = re.match(
+            r"segformer\.encoder\.patch_embeddings\.(\d+)\.(proj|layer_norm)\.(weight|bias)", k
+        )
+        if m:
+            i, sub, leaf = m.groups()
+            sub = "proj" if sub == "proj" else "norm"
+            mit[f"backbone.patch_embed{int(i) + 1}.{sub}.{leaf}"] = arr(value)
+            continue
+        m = re.match(r"segformer\.encoder\.block\.(\d+)\.(\d+)\.(.+)", k)
+        if m:
+            s, j, rest = m.groups()
+            base = f"backbone.block{int(s) + 1}.{j}"
+            mkv = re.match(r"attention\.self\.(key|value)\.(weight|bias)", rest)
+            if mkv:
+                which, leaf = mkv.groups()
+                kv_halves.setdefault((base, leaf), {})[which] = arr(value)
+                continue
+            sub, leaf = rest.rsplit(".", 1)
+            if sub not in block_renames:
+                raise KeyError(f"unhandled HF SegFormer block key {key!r}")
+            mit[f"{base}.{block_renames[sub]}.{leaf}"] = arr(value)
+            continue
+        m = re.match(r"segformer\.encoder\.layer_norm\.(\d+)\.(weight|bias)", k)
+        if m:
+            i, leaf = m.groups()
+            mit[f"backbone.norm{int(i) + 1}.{leaf}"] = arr(value)
+            continue
+        m = re.match(r"decode_head\.linear_c\.(\d+)\.proj\.(weight|bias)", k)
+        if m:
+            i, leaf = m.groups()
+            mit[f"decode_head.linear_c{int(i) + 1}.proj.{leaf}"] = arr(value)
+            continue
+        if k == "decode_head.linear_fuse.weight":
+            mit["decode_head.linear_fuse.conv.weight"] = arr(value)
+            continue
+        m = re.match(r"decode_head\.batch_norm\.(weight|bias|running_mean|running_var)", k)
+        if m:
+            mit[f"decode_head.linear_fuse.bn.{m.group(1)}"] = arr(value)
+            continue
+        m = re.match(r"decode_head\.classifier\.(weight|bias)", k)
+        if m:
+            mit[f"decode_head.linear_pred.{m.group(1)}"] = arr(value)
+            continue
+        raise KeyError(f"unhandled HF SegFormer key {key!r}")
+
+    # fuse the separate key/value projections back into the MiT kv layout
+    # (the mit converter splits kv as [key; value] along the output axis)
+    for (base, leaf), halves in kv_halves.items():
+        assert set(halves) == {"key", "value"}, (base, leaf, set(halves))
+        mit[f"{base}.attn.kv.{leaf}"] = np.concatenate(
+            [halves["key"], halves["value"]], axis=0
+        )
+
+    return mit_state_dict_to_flax(mit)
+
+
 def load_mit_pth_to_flax(path: str) -> dict:
     import torch
 
     state = torch.load(path, map_location="cpu", weights_only=True)
     if isinstance(state, dict) and "state_dict" in state:
         state = state["state_dict"]
+    if any(k.split("module.")[-1].startswith("segformer.") for k in state):
+        return hf_segformer_state_dict_to_flax(state)
     return mit_state_dict_to_flax(state)

@@ -71,7 +71,12 @@ def load_weights(path: str, target_variables: Any | None = None) -> dict:
         state = torch.load(path, map_location="cpu", weights_only=True)
         if isinstance(state, dict) and "state_dict" in state:
             state = state["state_dict"]
-        if any(k.split("module.")[-1].startswith("backbone.patch_embed") for k in state):
+        if any(k.split("module.")[-1].startswith("segformer.") for k in state):
+            # HuggingFace transformers Segformer layout (Hub checkpoints)
+            from hiast_tpu.models.convert_segformer import hf_segformer_state_dict_to_flax
+
+            variables = hf_segformer_state_dict_to_flax(state)
+        elif any(k.split("module.")[-1].startswith("backbone.patch_embed") for k in state):
             # official MiT / mmseg SegFormer layout
             from hiast_tpu.models.convert_segformer import mit_state_dict_to_flax
 

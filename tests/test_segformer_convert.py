@@ -70,6 +70,59 @@ def flax_to_mit_state_dict(variables):
     return sd
 
 
+def test_hf_segformer_b0_numerical_parity():
+    """GOLDEN parity vs the HuggingFace Segformer implementation: a random
+    HF SegformerForSemanticSegmentation (B0 defaults = our SegFormer_B0 spec)
+    converted through hf_segformer_state_dict_to_flax must reproduce the HF
+    logits — certifying SRA attention, Mix-FFN, overlap patch embeds and the
+    all-MLP head numerically, not just structurally."""
+    import torch
+    from transformers import SegformerConfig, SegformerForSemanticSegmentation
+
+    from hiast_tpu.models.convert_segformer import hf_segformer_state_dict_to_flax
+
+    torch.manual_seed(7)
+    hf = SegformerForSemanticSegmentation(SegformerConfig(num_labels=19)).eval()
+    # randomize the decode-head BN stats so frozen-stat parity is exercised
+    bn = hf.decode_head.batch_norm
+    bn.running_mean.data.normal_(0, 0.2)
+    bn.running_var.data.uniform_(0.8, 1.5)
+
+    variables = hf_segformer_state_dict_to_flax(hf.state_dict())
+    variables = jax.tree.map(jnp.asarray, variables)
+    ours = SegFormer(num_classes=19, variant="B0")
+
+    x = np.random.default_rng(5).normal(size=(1, 64, 128, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = hf(torch.from_numpy(np.moveaxis(x, -1, 1))).logits  # [1,19,16,32]
+    got = ours.apply(variables, jnp.asarray(x), train=False)["logits"]
+    want = np.moveaxis(want.numpy(), 1, -1)
+    scale = max(np.abs(want).max(), 1.0)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-3 * scale)
+
+
+def test_hf_layout_detected_by_load_weights(tmp_path):
+    """A .pth in HF layout routes through the HF adapter in load_weights."""
+    import torch
+    from transformers import SegformerConfig, SegformerForSemanticSegmentation
+
+    from hiast_tpu.utils.checkpoint import load_weights
+
+    torch.manual_seed(1)
+    hf = SegformerForSemanticSegmentation(SegformerConfig(num_labels=19)).eval()
+    pth = str(tmp_path / "hf_b0.pth")
+    torch.save(hf.state_dict(), pth)
+
+    model = SegFormer(num_classes=19, variant="B0")
+    target = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 128, 3)), train=False)
+    target = {"params": target["params"], "batch_stats": target["batch_stats"]}
+    merged = load_weights(pth, target)
+    np.testing.assert_allclose(
+        np.asarray(merged["params"]["decode_head"]["classifier"]["bias"]),
+        hf.decode_head.classifier.bias.detach().numpy(),
+    )
+
+
 def test_mit_convert_roundtrip_and_forward():
     model = SegFormer(num_classes=19, variant="B0")
     x = jnp.zeros((1, 64, 128, 3))
