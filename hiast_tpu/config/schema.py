@@ -189,6 +189,10 @@ def default_config() -> ConfigNode:
             "runtime": {
                 "mesh": {
                     "data": -1,  # -1 = all devices on the data axis
+                    # spatial partitioning: shard image ROWS over this many
+                    # chips (GSPMD emits the conv halo exchanges) — lets one
+                    # global batch train at resolutions beyond one chip's HBM
+                    "space": 1,
                     "model": 1,
                 },
                 "precision": {

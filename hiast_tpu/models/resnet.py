@@ -96,7 +96,13 @@ class ResNetOS8(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False, bn_axis_name: str | None = None):
+    def __call__(
+        self,
+        x,
+        train: bool = False,
+        bn_axis_name: str | None = None,
+        return_low: bool = False,
+    ):
         x = nn.Conv(
             64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
             use_bias=False, dtype=self.dtype, name="conv1",
@@ -119,6 +125,7 @@ class ResNetOS8(nn.Module):
             (256, 1, 1, 2),  # layer3: _nostride_dilate(2)
             (512, 1, 2, 4),  # layer4: _nostride_dilate(4)
         ]
+        low = None
         for stage_idx, (planes, stride, dil0, dil) in enumerate(stage_spec):
             for block_idx in range(self.layers[stage_idx]):
                 first = block_idx == 0
@@ -130,4 +137,9 @@ class ResNetOS8(nn.Module):
                     dtype=self.dtype,
                     name=f"layer{stage_idx + 1}_{block_idx}",
                 )(x, train=train, bn_axis_name=bn_axis_name)
+            if stage_idx == 0:
+                low = x  # 256-ch stride-4 feature (the reference's
+                # ``is_return_low`` V3+ hook, resnet.py:176-190)
+        if return_low:
+            return x, low
         return x  # [B, H/8, W/8, 2048]

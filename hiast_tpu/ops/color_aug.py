@@ -172,6 +172,12 @@ def simple_color_aug(img, rng):
 #   - equalize: histogram from a 4x4-subsampled grid (a CDF is a statistic;
 #     16x fewer scatter elements, visually identical LUT)
 # ---------------------------------------------------------------------------
+def _pixel_mean(g):
+    """[B,H,W] -> [B,1,1,1] mean, accumulated in float32: a bf16 reduction
+    over ~0.5M pixels loses every addend below the running sum's ulp."""
+    return jnp.mean(g, axis=(1, 2), dtype=jnp.float32)[:, None, None, None]
+
+
 def _batched_blur(x, rng):
     """x: [B,H,W,3]; per-sample random odd ksize in [3, 41], cv2 sigma."""
     b, h, w, _ = x.shape
@@ -181,7 +187,7 @@ def _batched_blur(x, rng):
     pos = jnp.arange(-half, half + 1, dtype=jnp.float32)  # [K]
     active = jnp.abs(pos)[None, :] <= ((ksize - 1) / 2)[:, None]  # [B, K]
     wts = jnp.where(active, jnp.exp(-0.5 * (pos[None, :] / sigma[:, None]) ** 2), 0.0)
-    wts = wts / jnp.sum(wts, axis=1, keepdims=True)  # [B, K]
+    wts = (wts / jnp.sum(wts, axis=1, keepdims=True)).astype(x.dtype)  # [B, K]
 
     # two depthwise convs with PER-SAMPLE taps: fold (batch, channel) into
     # the feature axis and group the conv by it — one conv call per axis,
@@ -219,26 +225,29 @@ def _batched_equalize(x):
     denom = jnp.maximum(cdf[..., -1:] - cdf_min, 1.0)
     lut = jnp.clip(jnp.round((cdf - cdf_min) / denom * 255.0), 0, 255)  # [B,3,256]
     # LUT application as a one-hot reduce (fused compare+multiply+sum over
-    # the 256 levels) — a 12.6M-element gather serializes on TPU.
+    # the 256 levels) — a 12.6M-element gather serializes on TPU.  The LUT
+    # holds 8-bit values, so the image dtype loses nothing.
     levels = jnp.arange(256, dtype=jnp.int32)
-    onehot = (q[..., None] == levels).astype(jnp.float32)  # [B,H,W,3,256] (fused)
-    return jnp.einsum("bhwck,bck->bhwc", onehot, lut)
+    onehot = (q[..., None] == levels).astype(x.dtype)  # [B,H,W,3,256] (fused)
+    return jnp.einsum("bhwck,bck->bhwc", onehot, lut.astype(x.dtype))
 
 
 def _batched_color_jitter(x, rng):
     b = x.shape[0]
     kb, kc, ks, kh = jax.random.split(rng, 4)
-    bf = jax.random.uniform(kb, (b, 1, 1, 1), minval=0.8, maxval=1.2)
-    cf = jax.random.uniform(kc, (b, 1, 1, 1), minval=0.8, maxval=1.2)
-    sf = jax.random.uniform(ks, (b, 1, 1, 1), minval=0.8, maxval=1.2)
+    # factors cast to the image dtype: a float32 factor would silently
+    # re-promote a bf16 image chain back to float32
+    bf = jax.random.uniform(kb, (b, 1, 1, 1), minval=0.8, maxval=1.2).astype(x.dtype)
+    cf = jax.random.uniform(kc, (b, 1, 1, 1), minval=0.8, maxval=1.2).astype(x.dtype)
+    sf = jax.random.uniform(ks, (b, 1, 1, 1), minval=0.8, maxval=1.2).astype(x.dtype)
     hf = jax.random.uniform(kh, (b,), minval=-0.2, maxval=0.2)
     x = _clip(x * bf)
-    mean = jnp.mean(_gray(x), axis=(1, 2))[:, None, None, None]
+    mean = _pixel_mean(_gray(x)).astype(x.dtype)
     x = _clip(mean + cf * (x - mean))
     g = _gray(x)[..., None]
     x = _clip(g + sf * (x - g))
     theta = hf * jnp.pi
-    cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
+    cos_t, sin_t = jnp.cos(theta).astype(x.dtype), jnp.sin(theta).astype(x.dtype)
     t_yiq = jnp.asarray(
         [[0.299, 0.587, 0.114], [0.596, -0.274, -0.322], [0.211, -0.523, 0.312]], x.dtype
     )
@@ -253,10 +262,18 @@ def _batched_color_jitter(x, rng):
     return _clip(jnp.einsum("bhwc,bdc->bhwd", x, m))
 
 
-def batched_color_aug(imgs, rng, kind: str = "CCA", selected_num: int = 3):
-    """Batched strong-view augmentation. imgs: [B,H,W,3] in [0,255]."""
+def batched_color_aug(imgs, rng, kind: str = "CCA", selected_num: int = 3, dtype=jnp.float32):
+    """Batched strong-view augmentation. imgs: [B,H,W,3] in [0,255].
+
+    ``dtype=jnp.bfloat16`` halves the HBM traffic of this bandwidth-bound
+    chain (the train step uses it).  Precision is a non-issue: the reference
+    runs the same transforms on uint8 images (augmentations.py:73-89), so
+    bf16's ~8-bit mantissa matches the reference's own quantization;
+    statistics (means, histograms, CDFs) still accumulate in float32.
+    Same key -> same transform/factor draws regardless of dtype.
+    """
     b = imgs.shape[0]
-    x = imgs.astype(jnp.float32)
+    x = imgs.astype(dtype)
     if kind == "SCA":
         k1, k2, kg = jax.random.split(rng, 3)
         gates = jax.random.bernoulli(kg, 0.5, (2, b))
@@ -281,10 +298,10 @@ def batched_color_aug(imgs, rng, kind: str = "CCA", selected_num: int = 3):
 
     x = jnp.where(gate(0), _batched_color_jitter(x, kj), x)
     x = jnp.where(gate(1), _batched_blur(x, kb_), x)
-    alpha = 1.0 + jax.random.uniform(kc, (b, 1, 1, 1), minval=0.0, maxval=3.0)
-    mean = jnp.mean(_gray(x), axis=(1, 2))[:, None, None, None]
+    alpha = (1.0 + jax.random.uniform(kc, (b, 1, 1, 1), minval=0.0, maxval=3.0)).astype(x.dtype)
+    mean = _pixel_mean(_gray(x)).astype(x.dtype)
     x = jnp.where(gate(2), _clip(mean + alpha * (x - mean)), x)
-    beta = jax.random.uniform(kbr, (b, 1, 1, 1), minval=-0.5, maxval=0.5)
+    beta = jax.random.uniform(kbr, (b, 1, 1, 1), minval=-0.5, maxval=0.5).astype(x.dtype)
     x = jnp.where(gate(3), _clip(x * (1.0 + beta)), x)
     x = jnp.where(gate(4), jnp.floor(x / 16.0) * 16.0, x)
     x = jnp.where(gate(5), _batched_equalize(x), x)

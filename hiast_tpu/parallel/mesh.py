@@ -16,25 +16,33 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(cfg=None, devices=None, batch_size=None) -> Mesh:
-    """Build the (data, model) mesh.
+    """Build the (data, space, model) mesh.
 
-    ``runtime.mesh.data == -1`` auto-sizes the data axis: all devices, capped
-    to the largest divisor of the global batch size (a global batch of 6 on 8
-    chips runs data=6 — XLA requires even batch sharding).  ``batch_size``
-    overrides the cap source (e.g. pseudo_policy.batch_size for generation).
+    ``runtime.mesh.data == -1`` auto-sizes the data axis: all remaining
+    devices, capped to the largest divisor of the global batch size (a global
+    batch of 6 on 8 chips runs data=6 — XLA requires even batch sharding).
+    ``batch_size`` overrides the cap source (e.g. pseudo_policy.batch_size
+    for generation).
+
+    ``runtime.mesh.space`` > 1 enables SPATIAL partitioning: image rows are
+    sharded over the ``space`` axis (see ``shard_batch``) and GSPMD inserts
+    the conv halo exchanges automatically — the TPU answer to "the image
+    doesn't fit one chip" (no reference analog; the reference crops instead,
+    code/sseg/datasets/gtav_dataset.py:22).
     """
     devices = devices if devices is not None else jax.devices()
     data = cfg.runtime.mesh.data if cfg is not None else -1
+    space = cfg.runtime.mesh.space if cfg is not None else 1
     model = cfg.runtime.mesh.model if cfg is not None else 1
     if data == -1:
-        data = len(devices) // model
+        data = len(devices) // (model * space)
         if batch_size is None and cfg is not None:
             batch_size = cfg.train.batch_size
         if batch_size:
             while batch_size % data != 0:
                 data -= 1
-    devs = np.asarray(devices[: data * model]).reshape(data, model)
-    return Mesh(devs, ("data", "model"))
+    devs = np.asarray(devices[: data * space * model]).reshape(data, space, model)
+    return Mesh(devs, ("data", "space", "model"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -42,25 +50,41 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard [B, H, ...] arrays over ('data', 'space'): batch over chips AND
+    image rows over chips."""
+    return NamedSharding(mesh, P("data", "space"))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _batch_spec(mesh: Mesh, x) -> NamedSharding:
+    """Per-leaf batch sharding: spatial leaves ([B,H,W,...]) additionally
+    shard rows over 'space' when the mesh has a space axis."""
+    if mesh.shape.get("space", 1) > 1 and np.ndim(x) >= 3:
+        return spatial_sharding(mesh)
+    return batch_sharding(mesh)
+
+
 def shard_batch(mesh: Mesh, tree):
-    """Device-put a host batch pytree with the batch axis sharded.
+    """Device-put a host batch pytree with the batch axis sharded (and, on a
+    space>1 mesh, image rows sharded too).
 
     Multi-host: each process passes its PROCESS-LOCAL slice of the global
     batch (global_batch / process_count samples — the DistributedSampler
     analog, reference base_trainer.py:68,81) and the global array is
     assembled across hosts without any cross-DCN data movement.
     """
-    sharding = batch_sharding(mesh)
     if jax.process_count() > 1:
         return jax.tree.map(
-            lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+            lambda x: jax.make_array_from_process_local_data(
+                _batch_spec(mesh, x), np.asarray(x)
+            ),
             tree,
         )
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    return jax.tree.map(lambda x: jax.device_put(x, _batch_spec(mesh, x)), tree)
 
 
 def replicate(mesh: Mesh, tree):

@@ -64,6 +64,7 @@ def populate() -> None:
     for mod in (
         "hiast_tpu.ops.losses",
         "hiast_tpu.models.deeplab_v2",
+        "hiast_tpu.models.deeplab_v3plus",
         "hiast_tpu.models.segformer",
         "hiast_tpu.models.segmentors",
         "hiast_tpu.data.datasets",

@@ -143,7 +143,11 @@ def make_consistency_step(segmentor, tx, strong_aug: str | None = "CCA") -> Call
     def step(state: TrainState, batch, rng):
         weak_raw = batch["t_img"].astype(jnp.float32)
         if strong_aug is not None:
-            strong_raw = batched_color_aug(weak_raw, rng, kind=strong_aug)
+            # bf16: halves the HBM traffic of the bandwidth-bound aug chain;
+            # quantization-equivalent to the reference's uint8 host aug
+            strong_raw = batched_color_aug(
+                batch["t_img"], rng, kind=strong_aug, dtype=jnp.bfloat16
+            )
         else:
             strong_raw = batch.get("t_img_strong", weak_raw).astype(jnp.float32)
         weak = normalize_image(weak_raw)
@@ -209,8 +213,11 @@ def make_mutual_step(segmentor, tx, strong_aug: str | None = None) -> Callable:
         weak_raw = batch["t_img"].astype(jnp.float32)
         rng_a, rng_b = jax.random.split(rng)
         if strong_input:
-            in_a = normalize_image(batched_color_aug(weak_raw, rng_a, kind=strong_aug))
-            in_b = normalize_image(batched_color_aug(weak_raw, rng_b, kind=strong_aug))
+            aug = functools.partial(
+                batched_color_aug, batch["t_img"], kind=strong_aug, dtype=jnp.bfloat16
+            )
+            in_a = normalize_image(aug(rng_a))
+            in_b = normalize_image(aug(rng_b))
         else:
             in_a = in_b = normalize_image(weak_raw)
         weak = normalize_image(weak_raw)

@@ -194,6 +194,78 @@ def test_full_resnet101_param_count():
     assert 42_000_000 < n < 45_000_000, n
 
 
+class TestDeepLabV3Plus:
+    def test_forward_shapes(self):
+        from hiast_tpu.registry import SEG_MODEL, populate
+
+        populate()
+        model = SEG_MODEL["DeepLab_V3Plus"](num_classes=19, backbone_layers=(1, 1, 1, 1))
+        x = jnp.zeros((1, 64, 128, 3))
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        out = model.apply(variables, x, train=False, return_representation=True)
+        assert out["logits"].shape == (1, 16, 32, 19)  # decoder at stride 4
+        assert out["backbone"].shape == (1, 8, 16, 2048)  # OS8 trunk
+        assert out["representation"].shape == (1, 16, 32, 256)
+
+    def test_backbone_params_shared_layout_with_v2(self):
+        """The V3+ trunk reuses ResNetOS8 verbatim: same param tree under
+        'backbone' as DeepLab_V2, so torchvision/HIAST backbone checkpoints
+        load into either head unchanged."""
+        from hiast_tpu.registry import SEG_MODEL, populate
+
+        populate()
+        x = jnp.zeros((1, 32, 64, 3))
+        trees = {}
+        for name in ("DeepLab_V2", "DeepLab_V3Plus"):
+            model = SEG_MODEL[name](num_classes=19, backbone_layers=(1, 1, 1, 1))
+            variables = model.init(jax.random.PRNGKey(0), x, train=False)
+            trees[name] = jax.tree_util.tree_map_with_path(
+                lambda p, leaf: leaf.shape, variables["params"]["backbone"]
+            )
+        assert trees["DeepLab_V2"] == trees["DeepLab_V3Plus"]
+
+    def test_trains_in_consistency_step(self):
+        from hiast_tpu.config import default_config
+        from hiast_tpu.models.segmentors import build_segmentor
+        from hiast_tpu.selftrain.steps import make_consistency_step
+        from hiast_tpu.selftrain.train_state import TrainState, make_optimizer
+        from hiast_tpu.registry import populate
+
+        populate()
+        cfg = default_config()
+        cfg.model.type = "SelfTrainingSegmentor"
+        cfg.model.seg_model.type = "DeepLab_V3Plus"
+        cfg.cst_training.is_enabled = True
+        cfg.cst_training.cst_loss.weight = 0.5
+        cfg.train.total_iter = 4
+        segmentor = build_segmentor(cfg, dtype=jnp.float32, backbone_layers=(1, 1, 1, 1))
+        variables = segmentor.init_variables(jax.random.PRNGKey(0), (1, 64, 128, 3))
+        tx = make_optimizer(cfg, variables["params"])
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=tx.init(variables["params"]),
+            ema_params=jax.tree.map(jnp.copy, variables["params"]),
+        )
+        rng = np.random.default_rng(0)
+        batch = {
+            "t_img": rng.integers(0, 255, size=(2, 64, 128, 3)).astype(np.uint8),
+            "t_plbl": np.where(
+                rng.random(size=(2, 64, 128)) < 0.4,
+                255,
+                rng.integers(0, 19, size=(2, 64, 128)),
+            ).astype(np.int32),
+        }
+        step = jax.jit(make_consistency_step(segmentor, tx, strong_aug="CCA"))
+        new_state, losses = step(state, batch, jax.random.PRNGKey(1))
+        for k in ("target_seg_loss", "cst_loss"):
+            assert np.isfinite(float(losses[k])), k
+        before = np.asarray(state.params["aspp"]["branch0"]["conv"]["kernel"])
+        after = np.asarray(new_state.params["aspp"]["branch0"]["conv"]["kernel"])
+        assert np.abs(after - before).max() > 0
+
+
 class TestSegFormer:
     def test_b0_forward_shapes(self):
         from hiast_tpu.registry import SEG_MODEL, populate

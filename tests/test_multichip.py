@@ -51,6 +51,49 @@ def test_sharded_ias_equals_unsharded(eight_devices):
     )
 
 
+def test_spatial_partition_step_matches_data_parallel(eight_devices):
+    """Full HIAST consistency step on a (data=4, space=2) mesh — image rows
+    sharded over chips, GSPMD halo exchanges — matches the pure-DP (data=8)
+    run: same losses, same updated params (up to reduction-order noise)."""
+    from tests.test_steps import init_state, make_batch, tiny_cfg
+    from hiast_tpu.models.segmentors import build_segmentor
+    from hiast_tpu.parallel.mesh import shard_batch
+    from hiast_tpu.registry import populate
+    from hiast_tpu.selftrain.steps import make_consistency_step
+
+    populate()
+    # SGD: the param diff then IS the gradient diff. (Adam's first step is
+    # sign-like — m̂/√v̂ ≈ sign(g) from zero-init moments — so benign
+    # reduction-order noise on near-zero grads would flip into 2·lr jumps.)
+    cfg = tiny_cfg(**{
+        "cst_training.is_enabled": True,
+        "cst_training.cst_loss.weight": 0.5,
+        "train.optimizer": "SGD",
+    })
+    segmentor = build_segmentor(cfg, dtype=jnp.float32, backbone_layers=(1, 1, 1, 1))
+    state, tx, _ = init_state(cfg, segmentor, with_ema=True)
+    step = jax.jit(make_consistency_step(segmentor, tx, strong_aug="CCA"))
+    batch = make_batch(("t_img", "t_plbl"))
+    key = jax.random.PRNGKey(3)
+
+    results = {}
+    for name, space in (("dp", 1), ("dp_sp", 2)):
+        cfg.runtime.mesh.space = space
+        mesh = make_mesh(cfg)
+        assert mesh.shape["space"] == space
+        new_state, losses = step(
+            replicate(mesh, state), shard_batch(mesh, dict(batch)), key
+        )
+        results[name] = (
+            {k: float(v) for k, v in losses.items()},
+            np.asarray(new_state.params["aspp"]["conv2d_list_0"]["kernel"]),
+        )
+
+    for k, v in results["dp"][0].items():
+        assert abs(results["dp_sp"][0][k] - v) < 1e-4, (k, v, results["dp_sp"][0][k])
+    np.testing.assert_allclose(results["dp_sp"][1], results["dp"][1], atol=1e-6)
+
+
 def test_sharded_validation_matches(eight_devices):
     from hiast_tpu.ops.metrics import intersection_and_union
 

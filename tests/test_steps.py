@@ -234,6 +234,25 @@ class TestColorAug:
         out2 = np.asarray(batched_color_aug(jnp.asarray(imgs), jax.random.PRNGKey(1)))
         assert np.abs(out - out2).max() > 0
 
+    def test_bf16_matches_fp32(self):
+        """The train step runs CCA in bf16 (HBM-bandwidth halving). Same key
+        must draw the same transforms/factors, and pixels may differ only by
+        quantization noise (the reference's own aug runs on uint8 images)."""
+        from hiast_tpu.ops.color_aug import batched_color_aug
+
+        imgs = jnp.asarray(RNG.integers(0, 255, size=(4, 32, 64, 3)).astype(np.uint8))
+        for key in (0, 1, 2):
+            f32 = np.asarray(batched_color_aug(imgs, jax.random.PRNGKey(key)))
+            bf16 = np.asarray(
+                batched_color_aug(imgs, jax.random.PRNGKey(key), dtype=jnp.bfloat16)
+            ).astype(np.float32)
+            assert bf16.shape == f32.shape
+            diff = np.abs(bf16 - f32)
+            # mean within a quantization step; bin-boundary flips (posterize/
+            # equalize/solarize) can locally jump, so bound the bulk not the max
+            assert diff.mean() < 1.5, diff.mean()
+            assert np.quantile(diff, 0.99) < 16.0
+
     def test_equalize_matches_cv2(self):
         import cv2
 
