@@ -25,10 +25,12 @@ def make_forward(cfg, segmentor, variables):
     'full' feeds the per-pixel selection.
     """
     from hiast_tpu.ops.resize import bilinear_resize
-    from hiast_tpu.parallel.mesh import batch_sharding, make_mesh
+    from hiast_tpu.parallel.mesh import make_mesh, spatial_sharding
 
     mesh = make_mesh(cfg, batch_size=cfg.pseudo_policy.batch_size)
-    sharding = batch_sharding(mesh)
+    # batch over 'data'; with runtime.mesh.space > 1 image rows are sharded
+    # over 'space' as well (generation at 768x1536+ beyond one chip's HBM)
+    sharding = spatial_sharding(mesh)
 
     @jax.jit
     def _forward(images):

@@ -105,14 +105,16 @@ def run_validation(
 
     With a ``mesh``, evenly-divisible batches are sharded over the data axis
     (XLA reduces the IoU areas across chips — the TPU version of the
-    reference's dist.all_reduce validation, base_trainer.py:180-181).
+    reference's dist.all_reduce validation, base_trainer.py:180-181); a
+    ``space`` mesh axis > 1 additionally shards image rows (multi-scale eval
+    beyond one chip's HBM).
     """
-    from hiast_tpu.parallel.mesh import batch_sharding
+    from hiast_tpu.parallel.mesh import spatial_sharding
 
     inter_sum = None
     union_sum = None
     preds = []
-    sharding = batch_sharding(mesh) if mesh is not None else None
+    sharding = spatial_sharding(mesh) if mesh is not None else None
     for batch in data_iter:
         img = jnp.asarray(batch["images"])
         lbl = jnp.asarray(batch["labels"].astype(np.int32))

@@ -18,6 +18,28 @@ needs_reference = pytest.mark.skipif(
 )
 
 
+def test_every_shipped_config_loads_and_resolves():
+    """Each YAML in hiast_tpu/configs loads through the loader and names
+    only registered trainers / seg models / pseudo policies."""
+    import glob
+
+    from hiast_tpu import registry
+
+    registry.populate()
+    configs = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..",
+                                            "hiast_tpu", "configs", "*.yaml")))
+    assert configs
+    for path in configs:
+        if os.path.basename(path) == "hiast_setting.yaml":  # overlay-only
+            continue
+        cfg = load_config(config_file=path)
+        if cfg.trainer is not None:  # validate.yaml has no trainer
+            assert cfg.trainer in registry.TRAINER, path
+        assert cfg.model.seg_model.type in registry.SEG_MODEL, path
+        if cfg.pseudo_policy.type is not None:
+            assert cfg.pseudo_policy.type in registry.PSEUDO_POLICY, path
+
+
 @needs_reference
 class TestReferenceYAMLs:
     @pytest.mark.parametrize("name", ["sl_1", "sl_2", "sl_3"])

@@ -224,6 +224,80 @@ class TestDeepLabV3Plus:
             )
         assert trees["DeepLab_V2"] == trees["DeepLab_V3Plus"]
 
+    def test_forward_matches_torch_twin(self):
+        """Golden parity: the whole V3+ head (ASPP-v3 branches, image-level
+        pooling, align_corners upsample, 48-ch low-level fusion, decoder)
+        against an equivalent eval-mode torch model through the converter."""
+
+        class TorchConvBN(tnn.Module):
+            def __init__(self, cin, cout, k=3, dilation=1):
+                super().__init__()
+                pad = dilation * (k - 1) // 2
+                self.conv = tnn.Conv2d(cin, cout, k, padding=pad, dilation=dilation, bias=False)
+                self.bn = tnn.BatchNorm2d(cout)
+
+            def forward(self, x):
+                return F.relu(self.bn(self.conv(x)))
+
+        class TorchASPPv3(tnn.Module):
+            def __init__(self, cin=2048, f=256):
+                super().__init__()
+                self.branch0 = TorchConvBN(cin, f, k=1)
+                self.branch1 = TorchConvBN(cin, f, dilation=12)
+                self.branch2 = TorchConvBN(cin, f, dilation=24)
+                self.branch3 = TorchConvBN(cin, f, dilation=36)
+                self.pool_proj = TorchConvBN(cin, f, k=1)
+                self.project = TorchConvBN(5 * f, f, k=1)
+
+            def forward(self, x):
+                ys = [self.branch0(x), self.branch1(x), self.branch2(x), self.branch3(x)]
+                pooled = self.pool_proj(x.mean((2, 3), keepdim=True))
+                ys.append(pooled.expand_as(ys[0]))
+                return self.project(torch.cat(ys, dim=1))
+
+        class TorchV3Plus(tnn.Module):
+            def __init__(self, num_classes=19):
+                super().__init__()
+                self.backbone = TorchBackbone(LAYERS)
+                self.aspp = TorchASPPv3()
+                self.low_proj = TorchConvBN(256, 48, k=1)
+                self.decoder0 = TorchConvBN(256 + 48, 256)
+                self.decoder1 = TorchConvBN(256, 256)
+                self.classifier = tnn.Conv2d(256, num_classes, 1)
+
+            def forward(self, x):
+                b = self.backbone
+                x = b.maxpool(F.relu(b.bn1(b.conv1(x))))
+                low = b.layer1(x)
+                feat = b.layer4(b.layer3(b.layer2(low)))
+                y = self.aspp(feat)
+                y = F.interpolate(y, size=low.shape[2:], mode="bilinear", align_corners=True)
+                y = torch.cat([y, self.low_proj(low)], dim=1)
+                return self.classifier(self.decoder1(self.decoder0(y)))
+
+        torch.manual_seed(3)
+        twin = TorchV3Plus().eval()
+        for m in twin.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.5)
+                m.running_var.uniform_(0.5, 2.0)
+                m.weight.data.normal_(1.0, 0.2)
+                m.bias.data.normal_(0, 0.2)
+
+        from hiast_tpu.models.deeplab_v3plus import DeepLabV3Plus
+
+        variables = torch_state_dict_to_flax(twin.state_dict())
+        variables = jax.tree.map(jnp.asarray, variables)
+        flax_model = DeepLabV3Plus(num_classes=19, backbone_layers=LAYERS)
+        x = np.random.default_rng(4).normal(size=(1, 65, 97, 3)).astype(np.float32)
+        with torch.no_grad():
+            want = twin(torch.from_numpy(np.moveaxis(x, -1, 1))).numpy()
+        got = flax_model.apply(variables, jnp.asarray(x), train=False)
+        assert got["logits"].shape == (1,) + want.shape[2:] + (19,)
+        np.testing.assert_allclose(
+            np.asarray(got["logits"]), np.moveaxis(want, 1, -1), atol=2e-3
+        )
+
     def test_trains_in_consistency_step(self):
         from hiast_tpu.config import default_config
         from hiast_tpu.models.segmentors import build_segmentor

@@ -51,6 +51,34 @@ def test_sharded_ias_equals_unsharded(eight_devices):
     )
 
 
+def test_spatially_sharded_ias_equals_unsharded(eight_devices):
+    """Pseudo-label generation with image ROWS sharded over 'space' (the
+    generation-beyond-one-chip path, cli/generate_pseudo_labels.py) is
+    bit-identical to the unsharded run."""
+    from hiast_tpu.config import default_config
+    from hiast_tpu.parallel.mesh import spatial_sharding
+
+    cfg = default_config()
+    cfg.runtime.mesh.space = 2
+    cfg.train.batch_size = 4
+    mesh = make_mesh(cfg)
+    assert mesh.shape == {"data": 4, "space": 2, "model": 1}
+    logits = RNG.normal(size=(4, 16, 24, C)).astype(np.float32) * 3
+    state = P.IASState(jnp.full((C,), 0.9), jnp.zeros((C,)))
+
+    step = jax.jit(ias_step)
+    plbl_ref, counts_ref, state_ref = step(jnp.asarray(logits), state)
+    plbl_s, counts_s, state_s = step(
+        jax.device_put(jnp.asarray(logits), spatial_sharding(mesh)),
+        replicate(mesh, state),
+    )
+    np.testing.assert_array_equal(np.asarray(plbl_s), np.asarray(plbl_ref))
+    np.testing.assert_array_equal(np.asarray(counts_s), np.asarray(counts_ref))
+    np.testing.assert_allclose(
+        np.asarray(state_s.thresholds), np.asarray(state_ref.thresholds), atol=1e-6
+    )
+
+
 def test_spatial_partition_step_matches_data_parallel(eight_devices):
     """Full HIAST consistency step on a (data=4, space=2) mesh — image rows
     sharded over chips, GSPMD halo exchanges — matches the pure-DP (data=8)
