@@ -34,6 +34,14 @@ def make_mesh(cfg=None, devices=None, batch_size=None) -> Mesh:
     data = cfg.runtime.mesh.data if cfg is not None else -1
     space = cfg.runtime.mesh.space if cfg is not None else 1
     model = cfg.runtime.mesh.model if cfg is not None else 1
+    if model != 1:
+        # params are replicated today; a model>1 mesh would silently idle
+        # devices. Fail loudly rather than waste a slice.
+        raise ValueError(
+            "runtime.mesh.model is reserved (tensor parallelism is not "
+            "implemented — the 43M-param CNN does not need it, SURVEY §2.2); "
+            f"got model={model}. Use mesh.data / mesh.space."
+        )
     if data == -1:
         data = len(devices) // (model * space)
         if batch_size is None and cfg is not None:

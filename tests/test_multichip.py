@@ -8,6 +8,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hiast_tpu.parallel.mesh import batch_sharding, make_mesh, replicate
 from hiast_tpu.pseudo import policies as P
@@ -120,6 +121,44 @@ def test_spatial_partition_step_matches_data_parallel(eight_devices):
     for k, v in results["dp"][0].items():
         assert abs(results["dp_sp"][0][k] - v) < 1e-4, (k, v, results["dp_sp"][0][k])
     np.testing.assert_allclose(results["dp_sp"][1], results["dp"][1], atol=1e-6)
+
+
+def test_segformer_spatially_sharded_forward_matches(eight_devices):
+    """SegFormer under spatial sharding: the SRA attention's token dimension
+    is the flattened sharded rows — GSPMD must still produce the unsharded
+    numbers (collectives for the attention contractions)."""
+    from hiast_tpu.config import default_config
+    from hiast_tpu.models.segmentors import build_segmentor
+    from hiast_tpu.parallel.mesh import spatial_sharding
+    from hiast_tpu.registry import populate
+
+    populate()
+    cfg = default_config()
+    cfg.model.type = "SelfTrainingSegmentor"
+    cfg.model.seg_model.type = "SegFormer_B0"
+    cfg.runtime.mesh.space = 2
+    cfg.train.batch_size = 4
+    segmentor = build_segmentor(cfg, dtype=jnp.float32)
+    variables = segmentor.init_variables(jax.random.PRNGKey(0), (1, 32, 64, 3))
+    variables = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+    img = jnp.asarray(RNG.normal(size=(4, 32, 64, 3)).astype(np.float32))
+
+    fwd = jax.jit(lambda v, x: segmentor.forward(v, x, train=False)["logits"])
+    want = np.asarray(fwd(variables, img))
+    mesh = make_mesh(cfg)
+    got = np.asarray(
+        fwd(replicate(mesh, variables), jax.device_put(img, spatial_sharding(mesh)))
+    )
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_model_axis_is_guarded(eight_devices):
+    from hiast_tpu.config import default_config
+
+    cfg = default_config()
+    cfg.runtime.mesh.model = 2
+    with pytest.raises(ValueError, match="reserved"):
+        make_mesh(cfg)
 
 
 def test_sharded_validation_matches(eight_devices):
