@@ -47,6 +47,8 @@ def get_lib():
     lib.paste_hard_classes.argtypes = [u8p] * 6 + [ctypes.c_int64, ctypes.c_int]
     lib.crop_flip_resize_u8.argtypes = [u8p] + [ctypes.c_int] * 8 + [u8p] + [ctypes.c_int] * 2
     lib.crop_flip_resize_nearest_u8.argtypes = [u8p] + [ctypes.c_int] * 7 + [u8p] + [ctypes.c_int] * 2
+    lib.encode_gray_png.argtypes = [u8p] + [ctypes.c_int] * 3 + [u8p, ctypes.c_int64]
+    lib.encode_gray_png.restype = ctypes.c_int64
     _lib = lib
     return lib
 
@@ -122,3 +124,24 @@ def crop_flip_resize(
     lib.crop_flip_resize_u8(_ptr(img), h, w, img.shape[2], y0, x0, ch, cw, int(flip), _ptr(oi), oh, ow)
     lib.crop_flip_resize_nearest_u8(_ptr(lbl), h, w, y0, x0, ch, cw, int(flip), _ptr(ol), oh, ow)
     return oi, ol
+
+
+def encode_gray_png(arr: np.ndarray, level: int = 1) -> bytes | None:
+    """8-bit grayscale PNG encode via the C++ lib (Up filter + zlib).
+
+    Returns the encoded bytes, or None when the native lib is unavailable
+    (callers fall back to PIL).  Level 1 (fastest) is the right trade for
+    pseudo-label maps: the Up-filtered stream is mostly zeros.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    arr = np.ascontiguousarray(arr, np.uint8)
+    assert arr.ndim == 2, arr.shape
+    h, w = arr.shape
+    cap = (w + 1) * h + (((w + 1) * h) >> 10) + 4096  # > compressBound + chunks
+    out = np.empty(cap, np.uint8)
+    n = lib.encode_gray_png(_ptr(arr), h, w, level, _ptr(out), cap)
+    if n <= 0:
+        return None
+    return out[:n].tobytes()

@@ -33,6 +33,15 @@ from hiast_tpu.registry import PSEUDO_POLICY
 
 
 def _write_gray_png(path: str, arr: np.ndarray) -> None:
+    """C++ encoder (Up filter + zlib level 1 — ~4x faster than PIL on label
+    maps, see tests/test_native_ops.py), PIL fallback."""
+    from hiast_tpu.data.native_ops import encode_gray_png
+
+    blob = encode_gray_png(arr)
+    if blob is not None:
+        with open(path, "wb") as f:
+            f.write(blob)
+        return
     from PIL import Image
 
     Image.fromarray(arr.astype(np.uint8), mode="L").save(path)

@@ -13,14 +13,17 @@
 //   bilinear_resize_u8  : separable bilinear resize (half-pixel centers)
 //   paste_hard_classes  : fused HPA copy-paste (img+lbl+cp_mask in one pass)
 //   crop_flip_resize_u8 : fused crop + optional hflip + bilinear resize
+//   encode_gray_png     : 8-bit grayscale PNG encode (zlib; pseudo-label maps)
 //
-// Build: make -C native   (g++ -O3 -march=native -shared -fPIC)
+// Build: make -C native   (g++ -O3 -march=native -shared -fPIC -lz)
 
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
 #include <cmath>
 #include <vector>
+
+#include <zlib.h>
 
 extern "C" {
 
@@ -151,6 +154,70 @@ void crop_flip_resize_nearest_u8(const uint8_t* src, int h, int w,
     uint8_t* drow = dst + static_cast<int64_t>(y) * ow;
     for (int x = 0; x < ow; ++x) drow[x] = srow[col[x]];
   }
+}
+
+namespace {
+
+// Append one PNG chunk (length + type + payload + CRC) to out.
+inline uint8_t* put_chunk(uint8_t* out, const char type[4],
+                          const uint8_t* payload, uint32_t len) {
+  out[0] = len >> 24; out[1] = len >> 16; out[2] = len >> 8; out[3] = len;
+  std::memcpy(out + 4, type, 4);
+  if (len) std::memcpy(out + 8, payload, len);
+  uint32_t crc = crc32(0L, out + 4, len + 4);
+  uint8_t* p = out + 8 + len;
+  p[0] = crc >> 24; p[1] = crc >> 16; p[2] = crc >> 8; p[3] = crc;
+  return p + 4;
+}
+
+}  // namespace
+
+// 8-bit grayscale PNG encode for the pseudo-label maps (the reference writes
+// one gray PNG per target image each round via cv2.imwrite,
+// pseudo_label_generator.py:96).  Per-row Up filter: consecutive label-map
+// rows repeat, so the filtered stream is mostly zeros — smaller files AND
+// faster deflate than PIL's default pipeline.  Returns bytes written into
+// `out`, or -1 (out_cap too small / zlib error).  `level` is the zlib level
+// (1 = fastest; label maps compress well even at 1).
+int64_t encode_gray_png(const uint8_t* data, int h, int w, int level,
+                        uint8_t* out, int64_t out_cap) {
+  const int64_t stride = static_cast<int64_t>(w) + 1;
+  std::vector<uint8_t> raw(static_cast<size_t>(stride) * h);
+  for (int y = 0; y < h; ++y) {
+    uint8_t* row = raw.data() + y * stride;
+    const uint8_t* src = data + static_cast<int64_t>(y) * w;
+    if (y == 0) {
+      row[0] = 0;  // filter: None
+      std::memcpy(row + 1, src, w);
+    } else {
+      row[0] = 2;  // filter: Up
+      const uint8_t* prev = src - w;
+      for (int x = 0; x < w; ++x) row[1 + x] = static_cast<uint8_t>(src[x] - prev[x]);
+    }
+  }
+
+  uLongf comp_cap = compressBound(raw.size());
+  std::vector<uint8_t> comp(comp_cap);
+  if (compress2(comp.data(), &comp_cap, raw.data(), raw.size(), level) != Z_OK)
+    return -1;
+
+  const int64_t total = 8 + (12 + 13) + (12 + static_cast<int64_t>(comp_cap)) + 12;
+  if (total > out_cap) return -1;
+
+  static const uint8_t sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
+  std::memcpy(out, sig, 8);
+  uint8_t* p = out + 8;
+
+  uint8_t ihdr[13];
+  ihdr[0] = w >> 24; ihdr[1] = w >> 16; ihdr[2] = w >> 8; ihdr[3] = w;
+  ihdr[4] = h >> 24; ihdr[5] = h >> 16; ihdr[6] = h >> 8; ihdr[7] = h;
+  ihdr[8] = 8;   // bit depth
+  ihdr[9] = 0;   // color type: grayscale
+  ihdr[10] = 0; ihdr[11] = 0; ihdr[12] = 0;  // compression/filter/interlace
+  p = put_chunk(p, "IHDR", ihdr, 13);
+  p = put_chunk(p, "IDAT", comp.data(), static_cast<uint32_t>(comp_cap));
+  p = put_chunk(p, "IEND", nullptr, 0);
+  return p - out;
 }
 
 }  // extern "C"

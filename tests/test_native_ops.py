@@ -60,3 +60,42 @@ def test_crop_flip_resize_close_to_cv2(lib):
         # bilinear: allow +-2 from rounding differences vs cv2 fixed-point
         assert np.abs(oi.astype(int) - want_i.astype(int)).max() <= 2
         np.testing.assert_array_equal(ol, want_l)
+
+
+def test_encode_gray_png_roundtrips_and_beats_pil(lib, tmp_path):
+    """The C++ PNG encoder's output decodes (PIL) to the exact input array;
+    it should also be meaningfully faster than PIL on label-like content."""
+    import io
+    import time
+
+    from PIL import Image
+
+    # label-like content: large constant regions + noise band
+    arr = np.full((768, 1536), 255, np.uint8)
+    arr[100:400, 200:900] = 7
+    arr[500:700] = RNG.integers(0, 19, size=(200, 1536), dtype=np.uint8)
+
+    blob = native_ops.encode_gray_png(arr)
+    assert blob is not None and blob[:8] == b"\x89PNG\r\n\x1a\n"
+    decoded = np.asarray(Image.open(io.BytesIO(blob)))
+    np.testing.assert_array_equal(decoded, arr)
+
+    # also via the generator's writer
+    from hiast_tpu.pseudo.generator import _write_gray_png
+
+    path = tmp_path / "x_pseudo_label.png"
+    _write_gray_png(str(path), arr)
+    np.testing.assert_array_equal(np.asarray(Image.open(path)), arr)
+
+    def t(fn, n=5):
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_native = t(lambda: native_ops.encode_gray_png(arr))
+    buf = io.BytesIO()
+    t_pil = t(lambda: (buf.seek(0), Image.fromarray(arr, mode="L").save(buf, format="PNG")))
+    assert t_native < t_pil, (t_native, t_pil)
