@@ -158,6 +158,11 @@ def default_config() -> ConfigNode:
                     "weight": 1.0,
                     "region": "ignored",  # 'confident', 'ignored', 'all'
                 },
+                # directional consistency on copy-pasted regions (realizes
+                # the reference's commented-out surface,
+                # self_training_segmentor.py:63-125; off by default — the
+                # reference never enables it either)
+                "dcst_loss": {"weight": 0.0},
             },
             # ==============================================================
             # mutual training (vestigial in the reference; kept for parity)

@@ -138,11 +138,23 @@ class BaseDataset:
             return self.get_item(index, rng)
 
         result = {}
+        cp_mask = None
         if self.preprocessor is not None:
             img, lbl, cp_mask = self.preprocessor.run(img, lbl, rng)
             result["copy_paste_mask"] = cp_mask
+        aug_state = rng.bit_generator.state if cp_mask is not None else None
+        img_pre = img
         for fn in self.aug_fns:
             img, lbl = fn(img, lbl, rng)
+        if cp_mask is not None and self.cfg.cst_training.dcst_loss.weight > 0:
+            # the directional consistency loss consumes the mask on the
+            # augmented grid: replay the SAME geometric augs (cloned rng
+            # state -> identical crops/flips) with the mask as the label
+            replay = np.random.default_rng()
+            replay.bit_generator.state = aug_state
+            for fn in self.aug_fns:
+                img_pre, cp_mask = fn(img_pre, cp_mask, replay)
+            result["copy_paste_mask"] = cp_mask
         result["images"] = np.ascontiguousarray(img)
         result["labels"] = np.ascontiguousarray(lbl)
         result["image_paths"] = img_path

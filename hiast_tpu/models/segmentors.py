@@ -110,6 +110,43 @@ class SelfTrainingSegmentor(BaseSegmentor):
             )
         return losses
 
+    def compute_directional_consistency_loss(
+        self, logits_a, logits_b, cp_mask, bidirectional: bool = True
+    ):
+        """Pixel-level DIRECTIONAL consistency on copy-pasted regions — the
+        reference's commented-out ``compute_directional_consistency_loss``
+        (self_training_segmentor.py:85-117, the active pixel-level variant),
+        made real: within pasted pixels (``cp_mask != 255``), the LESS
+        confident view aligns to the MORE confident view's soft prediction
+        (SoftCE, both directions).  Deviations from the dead torch draft:
+        the alignment target is stop-gradient (the draft backprops into the
+        better view, pulling it DOWN toward the worse one — plainly
+        unintended), and empty regions contribute exactly 0 via the
+        nonzero-mean protocol instead of a host-side NaN guard.
+        """
+        weight = self.cfg.cst_training.dcst_loss.weight
+        prob_a = jax.nn.softmax(logits_a, axis=-1)
+        prob_b = jax.nn.softmax(logits_b, axis=-1)
+        conf_a = jnp.max(prob_a, axis=-1)
+        conf_b = jnp.max(prob_b, axis=-1)
+        pasted = cp_mask != 255
+        soft_ce = LOSS["SoftCE"]
+
+        def one_direction(logits_src, prob_tgt, src_worse):
+            mask = (pasted & src_worse).astype(jnp.int32)  # 1 = in-region
+            return soft_ce(
+                logits_src,
+                jax.lax.stop_gradient(prob_tgt),
+                refer_labels=mask,
+                region="confident",
+                ignore_index=0,
+            )
+
+        loss = one_direction(logits_a, prob_b, conf_a < conf_b)
+        if bidirectional:  # False when b is a no-gradient teacher
+            loss = loss + one_direction(logits_b, prob_a, conf_b < conf_a)
+        return {"dcst_loss": weight * loss}
+
     def compute_mutual_loss(self, t_logits, t_plbl, t_mut_lbl):
         """Mutual-learning consistency against a peer model's soft target
         (the reference's latent ``mut_training`` surface,

@@ -165,6 +165,13 @@ def make_consistency_step(segmentor, tx, strong_aug: str | None = "CCA") -> Call
         else:
             cst_lbl = jax.nn.softmax(t_weak_logits, axis=-1)
         cst_lbl = jax.lax.stop_gradient(cst_lbl)
+        # directional consistency on copy-pasted regions (optional; the
+        # teacher is the confident side candidate, gradient-free)
+        cp_mask = None
+        if cfg.cst_training.dcst_loss.weight > 0 and "copy_paste_mask" in batch:
+            cp_mask = _labels_for_loss(
+                segmentor, batch["copy_paste_mask"].astype(jnp.int32), t_weak_logits
+            )
 
         def loss_fn(params):
             out, new_model = _forward_for_loss(
@@ -173,6 +180,12 @@ def make_consistency_step(segmentor, tx, strong_aug: str | None = "CCA") -> Call
                 strong, train=True, mutable=["batch_stats"],
             )
             losses = segmentor.compute_loss(out["logits"], plbl, t_cst_lbl=cst_lbl)
+            if cp_mask is not None:
+                losses.update(
+                    segmentor.compute_directional_consistency_loss(
+                        out["logits"], t_weak_logits, cp_mask, bidirectional=False
+                    )
+                )
             return _total_loss(losses), (losses, new_model["batch_stats"])
 
         grads, (losses, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)

@@ -368,6 +368,13 @@ class ConsistencySelfTrainingTrainer(SelfTrainingTrainer):
             num_workers=self._workers(),
         )
 
+    def next_batch(self):
+        b = next(self.t_stream)
+        out = {"t_img": b["images"], "t_plbl": b["labels"]}  # uint8; cast on device
+        if self.cfg.cst_training.dcst_loss.weight > 0 and "copy_paste_mask" in b:
+            out["copy_paste_mask"] = b["copy_paste_mask"]
+        return out
+
     def make_step(self):
         # strong view kind: from cfg aug list (['MS','CCA'] -> CCA on device),
         # falling back to an injected dataset's device_color_aug attribute

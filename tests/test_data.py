@@ -141,6 +141,43 @@ class TestCopyPaste:
         # un-pasted pixels untouched
         np.testing.assert_array_equal(out_img[~pasted], img[~pasted])
 
+    def test_cp_mask_stays_aligned_through_geometric_augs(self, tmp_path):
+        """With dcst enabled, copy_paste_mask is replayed through the SAME
+        crops/flips as the labels: on the augmented grid, every pasted pixel
+        still carries exactly the pasted label."""
+        mpath, root = make_gtav_fixture(tmp_path)
+        pseudo_dir = tmp_path / "work" / "gray_label"
+        os.makedirs(pseudo_dir)
+        swc = {c: [] for c in range(19)}
+        for i in range(4):
+            plbl = RNG.integers(0, 19, size=(64, 96)).astype(np.uint8)
+            Image.fromarray(plbl, mode="L").save(pseudo_dir / f"img_{i}_pseudo_label.png")
+            for c in range(19):
+                n = int((plbl == c).sum())
+                if n:
+                    swc[c].append([f"img_{i}.png", n])
+        (tmp_path / "work" / "samples_with_class.json").write_text(json.dumps(swc))
+
+        cfg = self._cfg()
+        cfg.cst_training.dcst_loss.weight = 0.5
+        cfg.dataset.target.type = "Cityscapes"
+        cfg.dataset.target.json_path = mpath
+        cfg.dataset.target.image_dir = root
+        cfg.dataset.crop_size = [32, 64]
+        ds = build_dataset(cfg, "target", pseudo_dir=str(pseudo_dir), aug_type=["MS"])
+        ds.set_preprocessor(CopyPaste(cfg, ds, np.linspace(0.5, 0.99, 19)))
+
+        found_pasted = False
+        for idx in range(4):
+            item = ds.get_item(idx, np.random.default_rng(idx))
+            cp = item["copy_paste_mask"]
+            assert cp.shape == item["labels"].shape == (32, 64)
+            pasted = cp != 255
+            if pasted.any():
+                found_pasted = True
+                np.testing.assert_array_equal(item["labels"][pasted], cp[pasted])
+        assert found_pasted
+
     def test_synthia_masks_absent_classes(self):
         cfg = self._cfg()
         cfg.dataset.source.type = "SYNTHIA"

@@ -157,6 +157,59 @@ class TestConsistencyStep:
         assert np.abs(ema - old).max() > 0
         assert np.abs(ema - old).max() < np.abs(stu - old).max()
 
+    def test_directional_consistency_loss_semantics(self):
+        """Pixel-level dcst (the reference's commented-out surface): only
+        pasted pixels where the source view is LESS confident contribute;
+        empty regions give exactly 0; no gradient into the teacher side."""
+        cfg = tiny_cfg(**{
+            "cst_training.is_enabled": True,
+            "cst_training.dcst_loss.weight": 1.0,
+        })
+        segmentor = build_segmentor(cfg, dtype=jnp.float32, backbone_layers=TINY)
+
+        b, h, w, c = 2, 4, 6, 19
+        rng = np.random.default_rng(0)
+        logits_a = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+        logits_b = jnp.asarray(logits_a * 3.0)  # b sharper => more confident
+        cp_mask = np.full((b, h, w), 255, np.int32)
+        cp_mask[0, :2, :3] = 5  # pasted region
+        loss = segmentor.compute_directional_consistency_loss(
+            logits_a, logits_b, jnp.asarray(cp_mask), bidirectional=False
+        )["dcst_loss"]
+        assert float(loss) > 0
+
+        # empty pasted region -> exactly zero (the reference needed a NaN guard)
+        zero = segmentor.compute_directional_consistency_loss(
+            logits_a, logits_b, jnp.full((b, h, w), 255, jnp.int32)
+        )["dcst_loss"]
+        assert float(zero) == 0.0
+
+        # gradient flows into the less confident view only
+        g_a, g_b = jax.grad(
+            lambda la, lb: segmentor.compute_directional_consistency_loss(
+                la, lb, jnp.asarray(cp_mask), bidirectional=False
+            )["dcst_loss"],
+            argnums=(0, 1),
+        )(logits_a, logits_b)
+        assert np.abs(np.asarray(g_a)).max() > 0
+        np.testing.assert_array_equal(np.asarray(g_b), 0.0)
+
+    def test_dcst_in_consistency_step(self):
+        cfg = tiny_cfg(**{
+            "cst_training.is_enabled": True,
+            "cst_training.cst_loss.weight": 0.5,
+            "cst_training.dcst_loss.weight": 0.3,
+        })
+        segmentor = build_segmentor(cfg, dtype=jnp.float32, backbone_layers=TINY)
+        state, tx, _ = init_state(cfg, segmentor, with_ema=True)
+        step = jax.jit(make_consistency_step(segmentor, tx, strong_aug="CCA"))
+        batch = make_batch()
+        cp = np.full((8, H, W), 255, np.int32)
+        cp[:, : H // 2] = RNG.integers(0, 19, size=(8, H // 2, W))
+        batch["copy_paste_mask"] = cp
+        _, losses = step(state, batch, jax.random.PRNGKey(4))
+        assert "dcst_loss" in losses and np.isfinite(float(losses["dcst_loss"]))
+
     def test_ema_iter_update_skips_updates(self):
         """cst_training.ema_model.iter_update=k updates the EMA only every k
         iterations (reference consistency_self_training_trainer.py:69-71)."""
