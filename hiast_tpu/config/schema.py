@@ -208,6 +208,13 @@ def default_config() -> ConfigNode:
                 # (jax.checkpoint): trades ~30% step FLOPs for activation
                 # memory — enables bigger batches / MiT-B5 at full res.
                 "remat": False,
+                # skip the optimizer update (keep params/opt state) on steps
+                # whose loss or gradients are non-finite, instead of letting
+                # one bad batch poison the run
+                "skip_nonfinite_updates": False,
+                # log imgs/s + MFU in the training report (one extra
+                # cache-hit AOT compile at startup for the FLOPs count)
+                "report_mfu": True,
                 "checkpoint": {
                     # with train.is_save_all: prune per-iteration checkpoints
                     # beyond the newest `keep` (last/best/mid are always kept)

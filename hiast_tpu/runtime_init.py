@@ -46,6 +46,26 @@ def init_distributed(initialize=None) -> bool:
     return True
 
 
+# bf16 peak FLOP/s per chip by device kind (MFU denominator)
+_PEAK_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,  # v5e
+    "TPU v5": 459e12,  # v5p
+    "TPU v6 lite": 918e12,  # v6e
+}
+
+
+def chip_peak_flops(device=None) -> float | None:
+    """bf16 peak FLOP/s of one chip (None for unknown kinds, e.g. CPU)."""
+    import jax
+
+    kind = (device or jax.devices()[0]).device_kind
+    for prefix, peak in sorted(_PEAK_FLOPS.items(), key=lambda kv: -len(kv[0])):
+        if kind.startswith(prefix):
+            return peak
+    return None
+
+
 def init_runtime(cache_dir: str | None = None) -> None:
     global _DONE
     if _DONE:

@@ -74,12 +74,30 @@ def _labels_for_loss(segmentor, lbl, logits):
 def _apply_updates(state: TrainState, tx, grads, losses, new_batch_stats) -> TrainState:
     updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
     new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
-    return state.replace(
+    new_state = state.replace(
         step=state.step + 1,
         params=new_params,
         batch_stats=new_batch_stats,
         opt_state=new_opt_state,
     )
+    return new_state
+
+
+def _guarded_apply_updates(cfg, state, tx, grads, losses, new_batch_stats) -> TrainState:
+    """_apply_updates with the optional non-finite guard
+    (``runtime.skip_nonfinite_updates``): if any loss or gradient is
+    non-finite, keep params/opt-state unchanged for this step instead of
+    poisoning the run.  Production hardening with no reference analog (a NaN
+    there corrupts every replica through the DDP all-reduce)."""
+    new_state = _apply_updates(state, tx, grads, losses, new_batch_stats)
+    if not getattr(cfg.runtime, "skip_nonfinite_updates", False):
+        return new_state
+    finite = jnp.isfinite(_total_loss(losses))
+    finite = jax.tree_util.tree_reduce(
+        lambda acc, g: acc & jnp.all(jnp.isfinite(g)), grads, finite
+    )
+    skipped = state.replace(step=state.step + 1, batch_stats=new_batch_stats)
+    return jax.tree.map(lambda a, b: jnp.where(finite, a, b), new_state, skipped)
 
 
 # ---------------------------------------------------------------------------
@@ -99,7 +117,7 @@ def make_source_only_step(segmentor, tx) -> Callable:
             return _total_loss(losses), (losses, new_model["batch_stats"])
 
         grads, (losses, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)
-        return _apply_updates(state, tx, grads, losses, new_bs), losses
+        return _guarded_apply_updates(segmentor.cfg, state, tx, grads, losses, new_bs), losses
 
     return step
 
@@ -124,7 +142,7 @@ def make_self_training_step(segmentor, tx) -> Callable:
             return _total_loss(losses), (losses, new_model["batch_stats"])
 
         grads, (losses, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)
-        return _apply_updates(state, tx, grads, losses, new_bs), losses
+        return _guarded_apply_updates(segmentor.cfg, state, tx, grads, losses, new_bs), losses
 
     return step
 
@@ -189,7 +207,7 @@ def make_consistency_step(segmentor, tx, strong_aug: str | None = "CCA") -> Call
             return _total_loss(losses), (losses, new_model["batch_stats"])
 
         grads, (losses, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)
-        new_state = _apply_updates(state, tx, grads, losses, new_bs)
+        new_state = _guarded_apply_updates(cfg, state, tx, grads, losses, new_bs)
         # EMA of params every `iter_update` iterations (reference consistency
         # trainer :69-71); buffers (batch_stats) track the student wholesale
         # (reference utils.py:115-123 copies buffers each update)

@@ -227,6 +227,29 @@ class BaseTrainer:
         if getattr(self, "_prev_sigterm", None) is not None:
             signal.signal(signal.SIGTERM, self._prev_sigterm)
 
+    def _record_step_flops(self, batch, rng) -> None:
+        """Populate the recorder's MFU inputs from XLA cost analysis
+        (runtime.report_mfu).  The AOT lower+compile hits the persistent
+        compilation cache, so this costs seconds, not a recompile."""
+        if not getattr(self.cfg.runtime, "report_mfu", True):
+            return
+        from hiast_tpu.runtime_init import chip_peak_flops
+
+        peak = chip_peak_flops()
+        if peak is None:  # CPU tests / unknown chips
+            return
+        try:
+            ca = self.step_fn.lower(self.state, batch, rng).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get("flops", float("nan")))
+        except Exception as e:  # noqa: BLE001 - diagnostics only
+            self.logger.info(f"MFU reporting disabled (cost analysis failed: {e})")
+            return
+        if np.isfinite(flops) and flops > 0:
+            self.model_recorder.step_flops = flops
+            self.model_recorder.peak_flops = peak * self.mesh.devices.size
+
     def run(self):
         cfg = self.cfg
         self.logger.info("=" * 100)
@@ -241,6 +264,8 @@ class BaseTrainer:
                 self.profiler.step(it)
                 batch = shard_batch(self.mesh, self.next_batch())
                 rng = jax.random.fold_in(self.base_rng, it)
+                if it == start:
+                    self._record_step_flops(batch, rng)
                 self.state, losses = self.step_fn(self.state, batch, rng)
                 self.model_recorder.record_losses(losses)
                 if it % cfg.train.iter_report == 0:

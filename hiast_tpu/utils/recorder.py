@@ -23,6 +23,10 @@ class ResultRecorder:
         self.best_miou = 0.0
         self.best_iter = 0
         self.miou_13_when_16_best = 0.0
+        # set by the trainer (runtime.report_mfu): whole-program FLOPs per
+        # step and the aggregate peak of the mesh's chips
+        self.step_flops: float | None = None
+        self.peak_flops: float | None = None
         self.reset_time_and_losses()
 
     def reset_time_and_losses(self):
@@ -48,11 +52,19 @@ class ResultRecorder:
         remain = (self.cfg.train.total_iter - current_iter) * s_per_iter
         means = {k: v / n for k, v in self.losses_recorded.items()}
         lr = float(self.lr_fn(current_iter)) if self.lr_fn else None
+        imgs_per_s = self.cfg.train.batch_size / s_per_iter
+        mfu = (
+            self.step_flops / s_per_iter / self.peak_flops
+            if self.step_flops and self.peak_flops
+            else None
+        )
         msg = (
             f"{self.model_name}, iter: {current_iter}/{self.cfg.train.total_iter}, "
             + ", ".join(f"{k}: {v:.4f}" for k, v in means.items())
             + (f", lr: {lr:.3e}" if lr is not None else "")
-            + f", {s_per_iter:.3f} s/iter, eta: {remain / 3600:.2f}h"
+            + f", {s_per_iter:.3f} s/iter ({imgs_per_s:.1f} imgs/s"
+            + (f", {mfu * 100:.1f}% MFU" if mfu is not None else "")
+            + f"), eta: {remain / 3600:.2f}h"
         )
         if self.logger:
             self.logger.info(msg)
@@ -61,6 +73,9 @@ class ResultRecorder:
                 self.writer.add_scalar(f"train_{self.model_name}/{k}", v, current_iter)
             if lr is not None:
                 self.writer.add_scalar(f"train_{self.model_name}/lr", lr, current_iter)
+            self.writer.add_scalar(f"train_{self.model_name}/imgs_per_s", imgs_per_s, current_iter)
+            if mfu is not None:
+                self.writer.add_scalar(f"train_{self.model_name}/mfu", mfu, current_iter)
         self.reset_time_and_losses()
 
     # -- metrics -------------------------------------------------------------

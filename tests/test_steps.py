@@ -275,6 +275,44 @@ class TestAdversarialStep:
         assert np.abs(d_after - d_before).max() > 0
 
 
+class TestNonFiniteGuard:
+    def test_skips_update_on_nan_grads(self):
+        """runtime.skip_nonfinite_updates: a NaN loss/grad leaves params and
+        optimizer state untouched (step still advances); finite steps apply."""
+        from hiast_tpu.selftrain.steps import _guarded_apply_updates
+        import optax
+
+        cfg = tiny_cfg()
+        cfg.runtime.skip_nonfinite_updates = True
+        params = {"w": jnp.ones((3,))}
+        tx = optax.sgd(0.1)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats={},
+            opt_state=tx.init(params),
+        )
+        good = {"w": jnp.full((3,), 0.5)}
+        bad = {"w": jnp.asarray([0.5, np.nan, 0.5])}
+
+        s1 = jax.jit(lambda s, g: _guarded_apply_updates(cfg, s, tx, g, {"l": jnp.float32(1.0)}, {}))(state, good)
+        assert np.allclose(np.asarray(s1.params["w"]), 1.0 - 0.05)
+        assert int(s1.step) == 1
+
+        s2 = jax.jit(lambda s, g: _guarded_apply_updates(cfg, s, tx, g, {"l": jnp.float32(1.0)}, {}))(state, bad)
+        np.testing.assert_array_equal(np.asarray(s2.params["w"]), 1.0)
+        assert int(s2.step) == 1
+
+        # non-finite LOSS alone also blocks the update
+        s3 = jax.jit(lambda s, g: _guarded_apply_updates(cfg, s, tx, g, {"l": jnp.float32(np.inf)}, {}))(state, good)
+        np.testing.assert_array_equal(np.asarray(s3.params["w"]), 1.0)
+
+        # guard off -> NaN propagates (documents the default)
+        cfg.runtime.skip_nonfinite_updates = False
+        s4 = jax.jit(lambda s, g: _guarded_apply_updates(cfg, s, tx, g, {"l": jnp.float32(1.0)}, {}))(state, bad)
+        assert np.isnan(np.asarray(s4.params["w"])).any()
+
+
 class TestColorAug:
     def test_batched_cca_shapes_and_range(self):
         from hiast_tpu.ops.color_aug import batched_color_aug
