@@ -22,7 +22,11 @@ def make_forward(cfg, segmentor, variables):
     """uint8 [B,H,W,3] -> {'full': full-res fp32 logits, 'low': OS8 logits}.
 
     The 'low' grid feeds threshold statistics (see pseudo/generator.py);
-    'full' feeds the per-pixel selection.
+    'full' feeds the per-pixel selection.  With ``pseudo_policy.ms_sizes`` /
+    ``is_flip``, probabilities are softmax-fused over scales and mirrored
+    views (the validator's fusion, applied to generation — no reference
+    analog) and returned as log-probabilities, which the downstream
+    softmax-max selection consumes unchanged.
     """
     from hiast_tpu.ops.resize import bilinear_resize
     from hiast_tpu.parallel.mesh import make_mesh, spatial_sharding
@@ -32,13 +36,45 @@ def make_forward(cfg, segmentor, variables):
     # over 'space' as well (generation at 768x1536+ beyond one chip's HBM)
     sharding = spatial_sharding(mesh)
 
-    @jax.jit
-    def _forward(images):
-        img = normalize_image(images)
-        out = segmentor.module.apply(variables, img.astype(segmentor.dtype), train=False)
-        low = out["logits"].astype(jnp.float32)
-        full = bilinear_resize(low, images.shape[1], images.shape[2])
-        return {"full": full, "low": low}
+    ms_sizes = [tuple(s) for s in (cfg.pseudo_policy.ms_sizes or [])]
+    is_flip = bool(cfg.pseudo_policy.is_flip)
+
+    def _apply_probs(x):
+        out = segmentor.module.apply(variables, x.astype(segmentor.dtype), train=False)
+        logits = bilinear_resize(out["logits"].astype(jnp.float32), x.shape[1], x.shape[2])
+        return jax.nn.softmax(logits, axis=-1)
+
+    if ms_sizes or is_flip:
+
+        @jax.jit
+        def _forward(images):
+            img = normalize_image(images)
+            h, w = images.shape[1], images.shape[2]
+            sizes = ms_sizes or [(h, w)]
+            fused = None
+            for rh, rw in sizes:
+                scaled = img if (rh, rw) == (h, w) else bilinear_resize(img, rh, rw)
+                probs = _apply_probs(scaled)
+                if is_flip:
+                    probs = probs + _apply_probs(scaled[:, :, ::-1])[:, :, ::-1]
+                if (rh, rw) != (h, w):
+                    probs = bilinear_resize(probs, h, w)
+                fused = probs if fused is None else fused + probs
+            # each softmax sums to 1, so dividing by the view count
+            # renormalizes exactly; log puts it back on the logits interface
+            fused = fused / (len(sizes) * (2 if is_flip else 1))
+            logp = jnp.log(fused + 1e-12)
+            return {"full": logp, "low": logp[:, ::8, ::8]}
+
+    else:
+
+        @jax.jit
+        def _forward(images):
+            img = normalize_image(images)
+            out = segmentor.module.apply(variables, img.astype(segmentor.dtype), train=False)
+            low = out["logits"].astype(jnp.float32)
+            full = bilinear_resize(low, images.shape[1], images.shape[2])
+            return {"full": full, "low": low}
 
     def forward(images):
         images = jnp.asarray(images)

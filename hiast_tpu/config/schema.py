@@ -82,6 +82,14 @@ def default_config() -> ConfigNode:
                 "resume_from": None,
                 "batch_size": 2,
                 "resize_size": None,  # [height, width]
+                # OPTIONAL multi-scale + flip fusion for generation (no
+                # reference analog — its generator is single-scale,
+                # pseudo_label_generator.py:30; the validator's MS/flip
+                # machinery applied to pseudo-labels): probabilities are
+                # softmax-fused over scales (+ mirrored views) before
+                # IAS selection.  None/[] = single scale (parity).
+                "ms_sizes": None,  # [[height, width], ...]
+                "is_flip": False,
                 "save_dir": None,
                 "type": None,  # 'IAS', 'CBST', 'CT', 'NT'
                 "ias": {"alpha": 0.2, "beta": 0.9, "gamma": 8.0},

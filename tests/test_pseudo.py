@@ -167,3 +167,55 @@ def test_generator_artifact_contract(tmp_path, policy_cls, policy):
     sample = np.array(Image.open(os.path.join(save_dir, "img_0_0_pseudo_label.png")))
     assert sample.dtype == np.uint8
     assert set(np.unique(sample)) <= set(range(C)) | {255}
+
+
+class TestMultiScaleFlipGeneration:
+    def _segmentor_and_vars(self):
+        from hiast_tpu.config import default_config
+        from hiast_tpu.models.segmentors import build_segmentor
+        from hiast_tpu.registry import populate
+
+        populate()
+        cfg = default_config()
+        cfg.model.type = "SelfTrainingSegmentor"
+        cfg.pseudo_policy.batch_size = 2
+        segmentor = build_segmentor(cfg, dtype=jnp.float32, backbone_layers=(1, 1, 1, 1))
+        v = segmentor.init_variables(jax.random.PRNGKey(0), (1, 32, 64, 3))
+        return cfg, segmentor, {"params": v["params"], "batch_stats": v["batch_stats"]}
+
+    def test_single_scale_ms_path_matches_plain(self):
+        """ms_sizes=[native size], no flip -> identical selection inputs
+        (log-probs vs logits differ, but softmax-max/argmax agree)."""
+        from hiast_tpu.cli.generate_pseudo_labels import make_forward
+
+        cfg, segmentor, variables = self._segmentor_and_vars()
+        imgs = RNG.integers(0, 255, size=(2, 32, 64, 3)).astype(np.uint8)
+
+        plain = make_forward(cfg, segmentor, variables)(imgs)
+        cfg.pseudo_policy.ms_sizes = [[32, 64]]
+        fused = make_forward(cfg, segmentor, variables)(imgs)
+
+        mp0, pr0 = P.confidences(plain["full"])
+        mp1, pr1 = P.confidences(fused["full"])
+        np.testing.assert_array_equal(np.asarray(pr1), np.asarray(pr0))
+        np.testing.assert_allclose(np.asarray(mp1), np.asarray(mp0), atol=1e-5)
+
+    def test_ms_flip_fusion_is_valid_and_differs(self):
+        from hiast_tpu.cli.generate_pseudo_labels import make_forward
+
+        cfg, segmentor, variables = self._segmentor_and_vars()
+        imgs = RNG.integers(0, 255, size=(2, 32, 64, 3)).astype(np.uint8)
+        plain = make_forward(cfg, segmentor, variables)(imgs)
+
+        cfg.pseudo_policy.ms_sizes = [[32, 64], [48, 96]]
+        cfg.pseudo_policy.is_flip = True
+        out = make_forward(cfg, segmentor, variables)(imgs)
+        assert out["full"].shape == (2, 32, 64, C)
+        assert out["low"].shape == (2, 4, 8, C)
+        # log-probs: softmax == exp (already normalized)
+        probs = np.asarray(jax.nn.softmax(out["full"], axis=-1))
+        np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+        # the fusion actually changes the selection input
+        _, pr_plain = P.confidences(plain["full"])
+        _, pr_ms = P.confidences(out["full"])
+        assert (np.asarray(pr_ms) != np.asarray(pr_plain)).any()
