@@ -19,14 +19,6 @@ import numpy as np
 
 REFERENCE_TRAIN_IMGS_PER_SEC_PER_GPU = 5.0  # documented estimate, see module docstring
 
-# bf16 peak per chip by device kind (MFU denominator)
-_PEAK_FLOPS = {
-    "TPU v4": 275e12,
-    "TPU v5 lite": 197e12,  # v5e
-    "TPU v5": 459e12,  # v5p
-    "TPU v6 lite": 918e12,  # v6e
-}
-
 
 def _sync(x) -> float:
     """Force a scalar D2H transfer — the only reliable sync on the tunneled
@@ -35,13 +27,9 @@ def _sync(x) -> float:
 
 
 def _chip_peak_flops() -> float | None:
-    import jax
+    from hiast_tpu.runtime_init import chip_peak_flops
 
-    kind = jax.devices()[0].device_kind
-    for prefix, peak in sorted(_PEAK_FLOPS.items(), key=lambda kv: -len(kv[0])):
-        if kind.startswith(prefix):
-            return peak
-    return None
+    return chip_peak_flops()
 
 
 def _compiled_flops(jitted, *args) -> float | None:
