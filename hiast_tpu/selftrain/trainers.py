@@ -260,13 +260,20 @@ class BaseTrainer:
 
         try:
             start = int(np.asarray(self.state.step)) + 1  # mid-run resume support
+            # one-batch-deep software pipeline (same pattern as pseudo-gen,
+            # pseudo/generator.py): dispatch step k, THEN assemble + H2D
+            # batch k+1 while the device executes, THEN fetch k's losses.
+            # On PCIe hosts this hides the host data work; on the tunneled
+            # dev chip it also hides the 0.3-0.5 s/iter batch upload.
+            batch = shard_batch(self.mesh, self.next_batch())
             for it in range(start, cfg.train.total_iter + 1):
                 self.profiler.step(it)
-                batch = shard_batch(self.mesh, self.next_batch())
                 rng = jax.random.fold_in(self.base_rng, it)
                 if it == start:
                     self._record_step_flops(batch, rng)
                 self.state, losses = self.step_fn(self.state, batch, rng)
+                if it < cfg.train.total_iter:
+                    batch = shard_batch(self.mesh, self.next_batch())
                 self.model_recorder.record_losses(losses)
                 if it % cfg.train.iter_report == 0:
                     self.model_recorder.report_losses(it)

@@ -36,8 +36,15 @@ class ResultRecorder:
 
     # -- losses --------------------------------------------------------------
     def record_losses(self, losses: dict) -> None:
+        values = list(losses.values())
+        if values and hasattr(values[0], "devices"):
+            # ONE device->host transfer for the whole dict: per-scalar
+            # float() costs a full roundtrip each on the tunneled platform
+            import jax.numpy as jnp
+
+            values = np.asarray(jnp.stack([v.astype(jnp.float32) for v in values]))
         total = 0.0
-        for name, value in losses.items():
+        for name, value in zip(losses.keys(), values):
             v = float(value)
             self.losses_recorded[name] = self.losses_recorded.get(name, 0.0) + v
             if "D_" not in name:
