@@ -48,6 +48,21 @@ def test_roundtrip_matches_live_forward():
         np.testing.assert_allclose(got / scale, want / scale, atol=2e-2)
 
 
+def test_multi_platform_export_runs_on_cpu():
+    """platforms=('tpu','cpu'): StableHLO lowering for TPU needs no TPU
+    hardware (AOT cross-lowering), and the same artifact still executes on
+    the CPU backend."""
+    from jax import export
+
+    from hiast_tpu.cli.export_model import build_exported
+
+    exp = build_exported(tiny_cfg(), 32, 64, platforms=("tpu", "cpu"))
+    assert set(exp.platforms) == {"tpu", "cpu"}
+    loaded = export.deserialize(exp.serialize())
+    out = loaded.call(jnp.zeros((1, 32, 64, 3), jnp.uint8))
+    assert out.shape == (1, 32, 64, 19)
+
+
 def test_export_cli_writes_artifact(tmp_path):
     import yaml
 
