@@ -17,7 +17,7 @@ happens on device, quartering host->device transfer bytes.
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
