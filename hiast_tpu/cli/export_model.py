@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from hiast_tpu.cli.common import build_cfg, standard_parser
 from hiast_tpu.models.segmentors import build_segmentor
+from hiast_tpu.selftrain.steps import normalize_image
 from hiast_tpu.utils.checkpoint import load_weights
 
 
@@ -41,7 +42,12 @@ def build_exported(cfg, height: int, width: int, platforms=("tpu",), weights=Non
         variables = load_weights(ckpt, variables)
 
     def serve(images_uint8):
-        out = segmentor.forward(variables, images_uint8, train=False)
+        # Same preprocessing as every in-framework inference path
+        # (evaluation.py val step, pseudo generation): /255 + ImageNet
+        # mean/std.  forward() alone only casts to bf16 — exporting it raw
+        # would ship an artifact whose predictions are garbage.
+        img = normalize_image(images_uint8)
+        out = segmentor.forward(variables, img, train=False)
         return out["logits"]
 
     (spec,) = export.symbolic_args_specs(

@@ -103,12 +103,15 @@ def default_config() -> ConfigNode:
                 # [0, 1] for max-probability quantiles (4.9e-4 resolution at
                 # 2048 matches the reference's float16 prob storage).
                 "num_hist_bins": 2048,
-                # where threshold statistics are computed: 'low' = the OS8
-                # logits grid (64x fewer pixels; the full-res probabilities
-                # are bilinear interpolations of these, so the quantiles are
-                # statistically equivalent and the pass is ~10x faster),
-                # 'full' = every output pixel (exact reference parity).
-                "stats_source": "low",
+                # where threshold statistics are computed: 'full' = every
+                # output pixel (exact reference parity — the DEFAULT, per the
+                # project invariant: parity defaults, fast modes opt-in);
+                # 'low' = the OS8 logits grid (64x fewer pixels; the full-res
+                # probabilities are bilinear interpolations of these, so the
+                # per-class quantiles are statistically equivalent — measured
+                # in tests/test_pseudo.py low-vs-full equivalence — and the
+                # stats pass is ~10x faster).
+                "stats_source": "full",
                 # use the Pallas fused selection kernel (ops/pallas/
                 # select_kernel.py) instead of the XLA-fused path: ~20%
                 # faster steady-state on v5e but with a large one-time

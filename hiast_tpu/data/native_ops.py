@@ -32,25 +32,56 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    """True when the .so predates the C++ source (make tracks this, but only
+    if we invoke it — a prebuilt library from an older checkout may lack
+    newer symbols entirely)."""
+    try:
+        src = os.path.join(_NATIVE_DIR, "hiast_host_ops.cc")
+        return os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+    except OSError:
+        return False
+
+
 def get_lib():
     global _lib
     if _lib is not None:
         return _lib or None
-    if not os.path.exists(_LIB_PATH) and not _build():
-        _lib = False
-        return None
+    if (not os.path.exists(_LIB_PATH) or _stale()) and not _build():
+        if not os.path.exists(_LIB_PATH):
+            _lib = False
+            return None
+        # build failed but an old .so exists: bind what it has, per-symbol
     lib = ctypes.CDLL(_LIB_PATH)
     u8p = ctypes.POINTER(ctypes.c_uint8)
-    lib.remap_u8.argtypes = [u8p, u8p, u8p, ctypes.c_int64]
-    lib.nearest_resize_u8.argtypes = [u8p] + [ctypes.c_int] * 3 + [u8p] + [ctypes.c_int] * 2
-    lib.bilinear_resize_u8.argtypes = lib.nearest_resize_u8.argtypes
-    lib.paste_hard_classes.argtypes = [u8p] * 6 + [ctypes.c_int64, ctypes.c_int]
-    lib.crop_flip_resize_u8.argtypes = [u8p] + [ctypes.c_int] * 8 + [u8p] + [ctypes.c_int] * 2
-    lib.crop_flip_resize_nearest_u8.argtypes = [u8p] + [ctypes.c_int] * 7 + [u8p] + [ctypes.c_int] * 2
-    lib.encode_gray_png.argtypes = [u8p] + [ctypes.c_int] * 3 + [u8p, ctypes.c_int64]
-    lib.encode_gray_png.restype = ctypes.c_int64
+    sigs = {
+        "remap_u8": ([u8p, u8p, u8p, ctypes.c_int64], None),
+        "nearest_resize_u8": ([u8p] + [ctypes.c_int] * 3 + [u8p] + [ctypes.c_int] * 2, None),
+        "bilinear_resize_u8": ([u8p] + [ctypes.c_int] * 3 + [u8p] + [ctypes.c_int] * 2, None),
+        "paste_hard_classes": ([u8p] * 6 + [ctypes.c_int64, ctypes.c_int], None),
+        "crop_flip_resize_u8": ([u8p] + [ctypes.c_int] * 8 + [u8p] + [ctypes.c_int] * 2, None),
+        "crop_flip_resize_nearest_u8": ([u8p] + [ctypes.c_int] * 7 + [u8p] + [ctypes.c_int] * 2, None),
+        "encode_gray_png": ([u8p] + [ctypes.c_int] * 3 + [u8p, ctypes.c_int64], ctypes.c_int64),
+        "decode_png": ([u8p, ctypes.c_int64, u8p, ctypes.c_int64], ctypes.c_int64),
+        "png_header": ([u8p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int)], ctypes.c_int64),
+    }
+    # Per-symbol binding: a stale .so missing newer entry points must degrade
+    # that op to its numpy/PIL fallback, not crash every native op.
+    for name, (argtypes, restype) in sigs.items():
+        try:
+            fn = getattr(lib, name)
+        except AttributeError:
+            continue
+        fn.argtypes = argtypes
+        if restype is not None:
+            fn.restype = restype
     _lib = lib
     return lib
+
+
+def _sym(name: str):
+    lib = get_lib()
+    return getattr(lib, name, None) if lib is not None else None
 
 
 def _ptr(a: np.ndarray):
@@ -58,12 +89,12 @@ def _ptr(a: np.ndarray):
 
 
 def remap_u8(src: np.ndarray, lut: np.ndarray) -> np.ndarray:
-    lib = get_lib()
+    fn = _sym("remap_u8")
     src = np.ascontiguousarray(src, np.uint8)
-    if lib is None:
+    if fn is None:
         return lut[src]
     dst = np.empty_like(src)
-    lib.remap_u8(_ptr(src), _ptr(np.ascontiguousarray(lut, np.uint8)), _ptr(dst), src.size)
+    fn(_ptr(src), _ptr(np.ascontiguousarray(lut, np.uint8)), _ptr(dst), src.size)
     return dst
 
 
@@ -76,15 +107,15 @@ def paste_hard_classes(
     hard_lut: np.ndarray,
 ) -> None:
     """In-place fused HPA paste (see native/hiast_host_ops.cc)."""
-    lib = get_lib()
-    if lib is None:
+    fn = _sym("paste_hard_classes")
+    if fn is None:
         mask = hard_lut.astype(bool)[donor_lbl]
         img[mask] = donor_img[mask]
         lbl[mask] = donor_lbl[mask]
         cp_mask[mask] = donor_lbl[mask]
         return
     h, w = lbl.shape
-    lib.paste_hard_classes(
+    fn(
         _ptr(img), _ptr(lbl), _ptr(cp_mask),
         _ptr(np.ascontiguousarray(donor_img, np.uint8)),
         _ptr(np.ascontiguousarray(donor_lbl, np.uint8)),
@@ -106,7 +137,7 @@ def crop_flip_resize(
 ):
     """Fused crop+flip+resize for an (image, label) pair."""
     lib = get_lib()
-    if lib is None:
+    if lib is None or _sym("crop_flip_resize_u8") is None:
         import cv2
 
         ci = img[y0 : y0 + ch, x0 : x0 + cw]
@@ -133,15 +164,15 @@ def encode_gray_png(arr: np.ndarray, level: int = 1) -> bytes | None:
     (callers fall back to PIL).  Level 1 (fastest) is the right trade for
     pseudo-label maps: the Up-filtered stream is mostly zeros.
     """
-    lib = get_lib()
-    if lib is None:
+    fn = _sym("encode_gray_png")
+    if fn is None:
         return None
     arr = np.ascontiguousarray(arr, np.uint8)
     assert arr.ndim == 2, arr.shape
     h, w = arr.shape
     cap = (w + 1) * h + (((w + 1) * h) >> 10) + 4096  # > compressBound + chunks
     out = np.empty(cap, np.uint8)
-    n = lib.encode_gray_png(_ptr(arr), h, w, level, _ptr(out), cap)
+    n = fn(_ptr(arr), h, w, level, _ptr(out), cap)
     if n <= 0:
         return None
     return out[:n].tobytes()

@@ -30,18 +30,51 @@ def collate(samples: list[dict]) -> dict:
     return batch
 
 
+def pad_batch(batch: dict, target: int, label_keys=("labels",)) -> dict:
+    """Pad a partial batch to ``target`` samples so every batch hits ONE
+    compiled shape (a tail batch otherwise triggers a fresh XLA compile —
+    30-100 s through slow-compile links — and falls off the data-sharded
+    path).
+
+    Array leaves are padded along axis 0 — labels with 255 (ignore: padded
+    samples contribute NOTHING to IoU/stats by construction), everything
+    else with zeros.  List leaves (image paths) keep their true length, so
+    downstream zip-style consumers are automatically trimmed.  The true
+    sample count is recorded under ``n_valid``.
+    """
+    n = None
+    for v in batch.values():
+        if isinstance(v, np.ndarray):
+            n = v.shape[0]
+            break
+    if n is None or n >= target:
+        return {**batch, "n_valid": n if n is not None else 0}
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray):
+            fill = 255 if k in label_keys else 0
+            pad = np.full((target - n,) + v.shape[1:], fill, v.dtype)
+            out[k] = np.concatenate([v, pad], axis=0)
+        else:
+            out[k] = v
+    out["n_valid"] = n
+    return out
+
+
 class BatchIterator:
     """One epoch of shuffled, collated batches.
 
     ``num_workers`` > 0 fetches the samples of a batch through a thread pool
     — decode/resize/paste run in C (PIL/cv2/native ops) with the GIL
     released, so threads scale on multi-core hosts (the TPU-host analog of
-    the reference's DataLoader worker processes).
+    the reference's DataLoader worker processes).  Pass ``pool`` to reuse an
+    existing executor (infinite_batches shares ONE pool across epochs
+    instead of churning a fresh pool per epoch).
     """
 
     def __init__(
         self, dataset, batch_size, shuffle=True, seed=0, epoch=0, drop_last=True,
-        num_workers: int = 0,
+        num_workers: int = 0, pool=None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -50,6 +83,7 @@ class BatchIterator:
         self.epoch = epoch
         self.drop_last = drop_last
         self.num_workers = num_workers
+        self.pool = pool
 
     def __len__(self):
         n = len(self.dataset)
@@ -65,11 +99,12 @@ class BatchIterator:
         if self.shuffle:
             np.random.default_rng((self.seed, self.epoch)).shuffle(order)
         limit = (n // self.batch_size) * self.batch_size if self.drop_last else n
-        pool = None
-        if self.num_workers > 0:
+        pool, own_pool = self.pool, False
+        if pool is None and self.num_workers > 0:
             from concurrent.futures import ThreadPoolExecutor
 
             pool = ThreadPoolExecutor(max_workers=self.num_workers)
+            own_pool = True
         try:
             for start in range(0, limit, self.batch_size):
                 idxs = [int(i) for i in order[start : start + self.batch_size]]
@@ -79,21 +114,29 @@ class BatchIterator:
                     samples = [self._fetch(i) for i in idxs]
                 yield collate(samples)
         finally:
-            if pool is not None:
-                pool.shutdown(wait=False)
+            if own_pool:
+                pool.shutdown(wait=True)
 
 
 def infinite_batches(dataset, batch_size, seed=0, prefetch=2, num_workers=None) -> Iterator[dict]:
-    """Endless stream of train batches with epoch reshuffling + prefetch."""
+    """Endless stream of train batches with epoch reshuffling + prefetch.
+
+    One shared worker pool serves every epoch (a fresh pool per epoch would
+    churn threads over an 8000-iter multi-epoch run)."""
     if num_workers is None:
         num_workers = min(batch_size, max(os.cpu_count() - 1, 0))
 
     def produce():
+        pool = None
+        if num_workers > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=num_workers)
         epoch = 0
         while True:
             it = BatchIterator(
                 dataset, batch_size, shuffle=True, seed=seed, epoch=epoch,
-                num_workers=num_workers,
+                num_workers=num_workers, pool=pool,
             )
             yield from it
             epoch += 1

@@ -103,19 +103,29 @@ def run_validation(
 ):
     """Accumulate (iou, miou) over a batch iterator.
 
-    With a ``mesh``, evenly-divisible batches are sharded over the data axis
-    (XLA reduces the IoU areas across chips — the TPU version of the
-    reference's dist.all_reduce validation, base_trainer.py:180-181); a
-    ``space`` mesh axis > 1 additionally shards image rows (multi-scale eval
-    beyond one chip's HBM).
+    With a ``mesh``, batches are sharded over the data axis (XLA reduces the
+    IoU areas across chips — the TPU version of the reference's
+    dist.all_reduce validation, base_trainer.py:180-181); a ``space`` mesh
+    axis > 1 additionally shards image rows (multi-scale eval beyond one
+    chip's HBM).
+
+    Partial tail batches (drop_last=False epochs) are PADDED to the first
+    batch's shape with all-255 labels — padded samples contribute zero
+    intersection/union by the ignore-index construction, every batch hits
+    the single compiled program, and the tail stays dp-sharded.
     """
+    from hiast_tpu.data.pipeline import pad_batch
     from hiast_tpu.parallel.mesh import spatial_sharding
 
     inter_sum = None
     union_sum = None
     preds = []
+    target = None
     sharding = spatial_sharding(mesh) if mesh is not None else None
     for batch in data_iter:
+        if target is None:
+            target = batch["images"].shape[0]
+        batch = pad_batch(batch, target)
         img = jnp.asarray(batch["images"])
         lbl = jnp.asarray(batch["labels"].astype(np.int32))
         if sharding is not None and img.shape[0] % mesh.shape["data"] == 0:
@@ -124,7 +134,8 @@ def run_validation(
         out = step_fn(params, batch_stats, img, lbl)
         if with_pred:
             pred, inter, union = out
-            preds.append((np.asarray(pred), batch["image_paths"]))
+            n = batch["n_valid"]
+            preds.append((np.asarray(pred)[:n], batch["image_paths"][:n]))
         else:
             inter, union = out
         inter_sum = inter if inter_sum is None else inter_sum + inter

@@ -96,7 +96,11 @@ def torch_state_dict_to_flax(state_dict: Mapping[str, "np.ndarray"]) -> dict:
         path = _flax_path(torch_key)
         if path is None:
             continue
-        arr = np.asarray(
+        # np.array (not asarray): torch's .numpy() is a zero-copy VIEW of the
+        # tensor storage, and jnp.asarray on CPU can alias numpy buffers too —
+        # without the copy, later in-place torch updates (optimizer steps, BN
+        # running stats) would silently mutate the converted variables.
+        arr = np.array(
             tensor.detach().cpu().numpy() if hasattr(tensor, "detach") else tensor,
             dtype=np.float32,
         )

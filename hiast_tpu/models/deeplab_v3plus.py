@@ -24,6 +24,7 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from hiast_tpu.models.norm import TorchBatchNorm
 from hiast_tpu.models.resnet import BN_EPS, DEFAULT_BN_MOMENTUM, ResNetOS8
 from hiast_tpu.ops.resize import bilinear_resize
 from hiast_tpu.registry import SEG_MODEL
@@ -47,7 +48,7 @@ class _ConvBNReLU(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             name="bn",
             use_running_average=not train,
             momentum=DEFAULT_BN_MOMENTUM,

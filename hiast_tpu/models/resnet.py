@@ -16,14 +16,19 @@ Module/parameter names deliberately mirror the torch layout
 (``layer3.5.conv2`` -> ``layer3_5/conv2``) so published ``.pth`` checkpoints
 convert mechanically (see models/convert.py).
 
-BatchNorm: the released self-training configs freeze BN everywhere
-(reference: code/configs/sl_1.yaml:5, code/utils/utils.py:107-110), so the
-default path folds BN into an affine transform of the stored running stats —
-zero batch-stat traffic, fully fusable into the preceding conv by XLA.  When
-training BN (source-only warmup from scratch), pass ``train=True`` and
-``bn_axis_name='data'`` for cross-replica (Sync-BN) statistics via
-``lax.pmean`` — the TPU equivalent of apex ``convert_syncbn_model``
-(reference: code/utils/utils.py:103-105).
+BatchNorm semantics (pinned by tests/test_train_parity.py — do NOT "fix"
+this to eval-mode BN): the reference's ``freeze_bn`` only sets
+``requires_grad=False`` on the BN affine params (reference:
+code/utils/utils.py:60-65); BN stays in TRAIN mode during training, so batch
+statistics are still computed from each batch and the running buffers keep
+updating (and feed the EMA teacher's eval-mode forward).  We mirror that:
+every train step runs BN with batch stats (``train=True``) and mutates
+``batch_stats``, while the optimizer pins the scale/bias leaves with
+``set_to_zero`` (train_state.py).  Under a sharded batch, passing
+``bn_axis_name='data'`` pmean-s the moments across replicas — the TPU
+equivalent of apex ``convert_syncbn_model`` (reference:
+code/utils/utils.py:103-105).  TorchBatchNorm (models/norm.py) reproduces
+torch's exact running-update rule (unbiased variance, momentum 0.1).
 """
 from __future__ import annotations
 
@@ -31,6 +36,8 @@ from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
+
+from hiast_tpu.models.norm import TorchBatchNorm
 
 DEFAULT_BN_MOMENTUM = 0.9  # torch momentum 0.1 == flax momentum 0.9
 BN_EPS = 1e-5
@@ -48,7 +55,7 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False, bn_axis_name: str | None = None):
         def bn(name):
-            return nn.BatchNorm(
+            return TorchBatchNorm(
                 name=name,
                 use_running_average=not train,
                 momentum=DEFAULT_BN_MOMENTUM,
@@ -107,7 +114,7 @@ class ResNetOS8(nn.Module):
             64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
             use_bias=False, dtype=self.dtype, name="conv1",
         )(x)
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             name="bn1",
             use_running_average=not train,
             momentum=DEFAULT_BN_MOMENTUM,

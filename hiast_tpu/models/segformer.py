@@ -22,6 +22,7 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from hiast_tpu.models.norm import TorchBatchNorm
 from hiast_tpu.registry import SEG_MODEL
 
 LN_EPS = 1e-6
@@ -170,7 +171,7 @@ class SegFormerHead(nn.Module):
             proj.append(y)
         x = jnp.concatenate(proj[::-1], axis=-1)
         x = nn.Conv(self.embed_dim, (1, 1), use_bias=False, dtype=self.dtype, name="fuse")(x)
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name="fuse_bn",
         )(x)

@@ -173,25 +173,31 @@ def bce_with_logits(logits: jnp.ndarray, labels: jnp.ndarray, **_) -> jnp.ndarra
 # region-adaptive regularizers (reference self_training_segmentor.py:140-163)
 # ---------------------------------------------------------------------------
 def kld_to_uniform(logits: jnp.ndarray, pixel_weight: jnp.ndarray) -> jnp.ndarray:
-    """KLD-to-uniform smoothing: -1/C * sum(w * log_softmax) / #valid pixels.
+    """KLD-to-uniform smoothing on the confident (pseudo-labeled) region.
 
-    Applied to the confident (pseudo-labeled) region to soften
-    over-confident predictions.  ``pixel_weight`` is float [B, H, W].
+    Exact reference normalization (self_training_segmentor.py:153-163): the
+    reference's ``weight`` is broadcast to [B, C, H, W], so its
+    ``val_num = weight[weight > 0].numel()`` counts #valid-pixels x C — the
+    loss is ``-1/C * sum(w * log_softmax) / (#pixels * C)``.
+    ``pixel_weight`` here is the compact float [B, H, W] mask.
     """
     num_classes = logits.shape[-1]
     logp = _log_softmax(logits)
-    val_num = jnp.maximum(jnp.sum(pixel_weight > 0), 1).astype(jnp.float32)
+    val_num = jnp.maximum(jnp.sum(pixel_weight > 0), 1).astype(jnp.float32) * num_classes
     return -jnp.sum(pixel_weight[..., None] * logp) / (num_classes * val_num)
 
 
 def entropy_sharpen(logits: jnp.ndarray, pixel_weight: jnp.ndarray) -> jnp.ndarray:
-    """Entropy regularizer: -sum(softmax * w * log_softmax) / #valid pixels.
+    """Entropy regularizer on the ignored region.
 
-    Applied to the ignored region to sharpen low-confidence predictions.
+    Same reference normalization as ``kld_to_uniform``: ``val_num`` counts
+    #valid-pixels x C (the [B, C, H, W] broadcast weight), so the loss is
+    ``-sum(softmax * w * log_softmax) / (#pixels * C)``.
     """
+    num_classes = logits.shape[-1]
     logp = _log_softmax(logits)
     p = jnp.exp(logp)
-    val_num = jnp.maximum(jnp.sum(pixel_weight > 0), 1).astype(jnp.float32)
+    val_num = jnp.maximum(jnp.sum(pixel_weight > 0), 1).astype(jnp.float32) * num_classes
     return -jnp.sum(p * pixel_weight[..., None] * logp) / val_num
 
 

@@ -42,6 +42,11 @@ def make_mesh(cfg=None, devices=None, batch_size=None) -> Mesh:
             "implemented — the 43M-param CNN does not need it, SURVEY §2.2); "
             f"got model={model}. Use mesh.data / mesh.space."
         )
+    if space < 1 or space > len(devices):
+        raise ValueError(
+            f"runtime.mesh.space={space} does not fit the {len(devices)} "
+            "available devices (need 1 <= space <= device count)."
+        )
     if data == -1:
         data = len(devices) // (model * space)
         if batch_size is None and cfg is not None:
@@ -49,6 +54,11 @@ def make_mesh(cfg=None, devices=None, batch_size=None) -> Mesh:
         if batch_size:
             while batch_size % data != 0:
                 data -= 1
+    if data * space * model > len(devices) or data < 1:
+        raise ValueError(
+            f"mesh data={data} x space={space} x model={model} exceeds the "
+            f"{len(devices)} available devices."
+        )
     devs = np.asarray(devices[: data * space * model]).reshape(data, space, model)
     return Mesh(devs, ("data", "space", "model"))
 

@@ -84,6 +84,24 @@ class BasePseudoGenerator:
         self.class_mean_probs = np.zeros(self.num_classes, np.float32)
         self.class_threshold: np.ndarray | None = None
 
+    def _pad(self, batch):
+        """Pad a partial tail batch to ``pseudo_policy.batch_size`` so every
+        batch hits ONE compiled program (and stays dp-sharded).  Returns
+        (images, valid [B] float, image_paths) — ``image_paths`` keeps its
+        true length, so ``_record_batch``'s zip trims the pad rows out of
+        every written artifact; ``valid`` masks them out of the on-device
+        statistics (histograms, class-mean-prob EMA)."""
+        import numpy as np
+
+        images = batch["images"]
+        n = images.shape[0]
+        target = self.cfg.pseudo_policy.batch_size or n
+        if n < target:
+            pad = np.zeros((target - n,) + images.shape[1:], images.dtype)
+            images = np.concatenate([images, pad], axis=0)
+        valid = (np.arange(images.shape[0]) < n).astype(np.float32)
+        return images, jnp.asarray(valid), batch["image_paths"]
+
     def _forward(self, images):
         """Normalize forward_fn output to (logits_full, logits_stats)."""
         out = self.forward_fn(images)
@@ -97,10 +115,11 @@ class BasePseudoGenerator:
 
     # -- jit'd batch programs ----------------------------------------------
     @partial(jax.jit, static_argnums=0)
-    def _select_step(self, logits, thresholds, cmp):
-        """(logits, thr, cmp) -> (plbl, counts[B,C], new_cmp)."""
+    def _select_step(self, logits, thresholds, cmp, valid):
+        """(logits, thr, cmp, valid[B]) -> (plbl, counts[B,C], new_cmp)."""
         maxprob, pred = P.confidences(logits)
         plbl = P.select_pseudo_labels(maxprob, pred, thresholds)
+        plbl = jnp.where(valid[:, None, None] > 0, plbl, P.IGNORE)
         counts = P.per_sample_class_counts(plbl, self.num_classes)
         sums, totals = P.class_prob_sums(plbl, maxprob, self.num_classes)
         new_cmp = P.update_class_mean_probs(
@@ -109,9 +128,10 @@ class BasePseudoGenerator:
         return plbl.astype(jnp.uint8), counts, new_cmp
 
     @partial(jax.jit, static_argnums=0)
-    def _hist_step(self, logits):
+    def _hist_step(self, logits, valid):
         maxprob, pred = P.confidences(logits)
-        return P.class_prob_histogram(maxprob, pred, self.num_classes, self.num_bins)
+        w = jnp.broadcast_to(valid[:, None, None], pred.shape)
+        return P.class_prob_histogram(maxprob, pred, self.num_classes, self.num_bins, w)
 
     # -- host-side bookkeeping ---------------------------------------------
     def _writer_pool(self):
@@ -179,19 +199,20 @@ class BasePseudoGenerator:
         )
 
     def _run_select_loop(self, step: Callable):
-        """Drive ``step(batch) -> (plbl_dev, counts_dev)`` over the dataset,
-        software-pipelined one batch deep: batch k+1's device program is
-        dispatched (async) BEFORE batch k's outputs are fetched, so the
-        device->host transfer of the label maps — the measured bottleneck on
-        slow-transfer links — overlaps the next batch's compute.  Carried
-        state (IAS thresholds) is a device-side dependency the XLA queue
-        orders correctly."""
+        """Drive ``step(batch) -> (plbl_dev, counts_dev, paths)`` over the
+        dataset, software-pipelined one batch deep: batch k+1's device
+        program is dispatched (async) BEFORE batch k's outputs are fetched,
+        so the device->host transfer of the label maps — the measured
+        bottleneck on slow-transfer links — overlaps the next batch's
+        compute.  Carried state (IAS thresholds) is a device-side dependency
+        the XLA queue orders correctly.  ``paths`` may be shorter than the
+        (padded) device batch; ``_record_batch`` zips, trimming pad rows."""
         prev = None
         for batch in self.data_iter_factory():
-            plbl, counts = step(batch)
+            plbl, counts, paths = step(batch)
             if prev is not None:
                 self._record_batch(np.asarray(prev[0]), np.asarray(prev[1]), prev[2])
-            prev = (plbl, counts, batch["image_paths"])
+            prev = (plbl, counts, paths)
         if prev is not None:
             self._record_batch(np.asarray(prev[0]), np.asarray(prev[1]), prev[2])
 
@@ -214,9 +235,10 @@ class ConstantThresholdGenerator(BasePseudoGenerator):
 
         def step(batch):
             nonlocal cmp
-            logits, _ = self._forward(batch["images"])
-            plbl, counts, cmp = self._select_step(logits, thresholds, cmp)
-            return plbl, counts
+            images, valid, paths = self._pad(batch)
+            logits, _ = self._forward(images)
+            plbl, counts, cmp = self._select_step(logits, thresholds, cmp, valid)
+            return plbl, counts, paths
 
         self._run_select_loop(step)
         self.class_mean_probs = np.asarray(cmp)
@@ -238,8 +260,9 @@ class CBSTGenerator(ConstantThresholdGenerator):
     def initial_thresholds(self):
         hist = jnp.zeros((self.num_classes, self.num_bins), jnp.float32)
         for batch in self.data_iter_factory():
-            _, stats_logits = self._forward(batch["images"])
-            hist = hist + self._hist_step(stats_logits)
+            images, valid, _ = self._pad(batch)
+            _, stats_logits = self._forward(images)
+            hist = hist + self._hist_step(stats_logits, valid)
         return P.cbst_thresholds(hist, self.cfg.pseudo_policy.cbst.p)
 
 
@@ -249,11 +272,12 @@ class IASGenerator(BasePseudoGenerator):
     per batch BEFORE selection (reference pseudo_label_generator.py:181-213)."""
 
     @partial(jax.jit, static_argnums=0)
-    def _ias_step(self, logits_full, logits_stats, state: P.IASState):
+    def _ias_step(self, logits_full, logits_stats, state: P.IASState, valid):
         # thresholds from the stats grid (OS8 by default), selection at full res
         stats_maxprob, stats_pred = P.confidences(logits_stats)
+        w = jnp.broadcast_to(valid[:, None, None], stats_pred.shape)
         hist = P.class_prob_histogram(
-            stats_maxprob, stats_pred, self.num_classes, self.num_bins
+            stats_maxprob, stats_pred, self.num_classes, self.num_bins, w
         )
         ias = self.cfg.pseudo_policy.ias
         new_thr = P.ias_update(state, hist, ias.alpha, ias.beta, ias.gamma)
@@ -263,9 +287,16 @@ class IASGenerator(BasePseudoGenerator):
             plbl, maxprob, counts, sums, totals = fused_select_batched(
                 logits_full, new_thr
             )
+            # mask pad samples out: the kernel's global sums/totals include
+            # them, so recompute from the masked plbl (cheap vs the kernel's
+            # select+counts; native valid-mask support is the kernel's TODO)
+            plbl = jnp.where(valid[:, None, None] > 0, plbl, P.IGNORE)
+            counts = P.per_sample_class_counts(plbl, self.num_classes)
+            sums, totals = P.class_prob_sums(plbl, maxprob, self.num_classes)
         else:
             maxprob, pred = P.confidences(logits_full)
             plbl = P.select_pseudo_labels(maxprob, pred, new_thr)
+            plbl = jnp.where(valid[:, None, None] > 0, plbl, P.IGNORE)
             counts = P.per_sample_class_counts(plbl, self.num_classes)
             sums, totals = P.class_prob_sums(plbl, maxprob, self.num_classes)
         new_cmp = P.update_class_mean_probs(
@@ -285,9 +316,10 @@ class IASGenerator(BasePseudoGenerator):
 
         def step(batch):
             nonlocal state
-            full, stats_logits = self._forward(batch["images"])
-            plbl, counts, state = self._ias_step(full, stats_logits, state)
-            return plbl, counts
+            images, valid, paths = self._pad(batch)
+            full, stats_logits = self._forward(images)
+            plbl, counts, state = self._ias_step(full, stats_logits, state, valid)
+            return plbl, counts, paths
 
         self._run_select_loop(step)
         self.class_threshold = np.asarray(state.thresholds)

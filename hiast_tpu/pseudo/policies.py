@@ -47,12 +47,21 @@ def confidences(logits: jnp.ndarray):
 
 
 def class_prob_histogram(
-    maxprob: jnp.ndarray, pred: jnp.ndarray, num_classes: int, num_bins: int
+    maxprob: jnp.ndarray,
+    pred: jnp.ndarray,
+    num_classes: int,
+    num_bins: int,
+    weights: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """[C, num_bins] histogram of max-probabilities grouped by predicted class."""
+    """[C, num_bins] histogram of max-probabilities grouped by predicted class.
+
+    ``weights`` (same shape as ``pred``) scales each pixel's contribution —
+    used to exclude pad samples of a partial batch (weight 0).
+    """
     bins = jnp.clip((maxprob * num_bins).astype(jnp.int32), 0, num_bins - 1)
     flat = pred.reshape(-1) * num_bins + bins.reshape(-1)
-    hist = jnp.zeros((num_classes * num_bins,), jnp.float32).at[flat].add(1.0)
+    w = jnp.ones(flat.shape, jnp.float32) if weights is None else weights.reshape(-1).astype(jnp.float32)
+    hist = jnp.zeros((num_classes * num_bins,), jnp.float32).at[flat].add(w)
     return hist.reshape(num_classes, num_bins)
 
 

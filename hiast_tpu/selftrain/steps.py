@@ -96,7 +96,10 @@ def _guarded_apply_updates(cfg, state, tx, grads, losses, new_batch_stats) -> Tr
     finite = jax.tree_util.tree_reduce(
         lambda acc, g: acc & jnp.all(jnp.isfinite(g)), grads, finite
     )
-    skipped = state.replace(step=state.step + 1, batch_stats=new_batch_stats)
+    # On skip, keep the OLD batch_stats too: a NaN forward pass (the usual
+    # source of a non-finite loss) writes NaN into the BN running stats, which
+    # would poison the model permanently even though params were protected.
+    skipped = state.replace(step=state.step + 1)
     return jax.tree.map(lambda a, b: jnp.where(finite, a, b), new_state, skipped)
 
 

@@ -68,9 +68,16 @@ def _param_labels(params, freeze_bn: bool):
         # BatchNorm scale/bias leaves live under modules named bn*/downsample_bn
         if freeze_bn and any(k.startswith("bn") or k.endswith("_bn") for k in keys):
             return "frozen"
+        # The vestigial `representation` head is computed by the reference but
+        # never consumed by any loss, so its torch grads are None and Adam
+        # skips it entirely — whereas optax would apply coupled weight decay
+        # to its zero gradients.  Pin it for exact update parity
+        # (tests/test_train_parity.py); reference deeplab_v2.py:38-40,63.
+        if keys and keys[0] == "representation":
+            return "frozen"
         if keys and keys[0] == "backbone":
             return "backbone"
-        return "head"  # aspp / representation: 10x lr (deeplab_v2.py:66-69)
+        return "head"  # aspp: 10x lr (deeplab_v2.py:66-69)
 
     return jax.tree_util.tree_map_with_path(label, params)
 

@@ -388,12 +388,31 @@ class ConsistencySelfTrainingTrainer(SelfTrainingTrainer):
             )
             if os.path.exists(cmp_path):
                 class_value = np.load(cmp_path)
+        if cfg.preprocessor.type == "CopyPaste" and not ds.get_samples_with_class():
+            # The reference FAILS here too (base_dataset.py:61-77 +
+            # consistency_self_training_trainer.py:27-44 raise on the missing
+            # stats files) — silently skipping would train a "HIAST" round
+            # that is actually plain consistency self-training.
+            raise FileNotFoundError(
+                "preprocessor.type=CopyPaste but the target dataset has no "
+                "samples_with_class stats: expected samples_with_class.json "
+                f"next to pseudo_dir={pseudo_dir!r} (produced by the "
+                "pseudo-label generation round). Point dataset.target."
+                "pseudo_dir at a generated round, or set preprocessor.type "
+                "to 'none' for plain consistency self-training."
+            )
         if class_value is None:
+            if cfg.preprocessor.type == "CopyPaste":
+                self.logger.warning(
+                    "class_mean_probabilities.npy not found next to "
+                    f"pseudo_dir={pseudo_dir!r}: HPA hard-class weighting "
+                    "falls back to uniform (class_value=0.9); the reference "
+                    "requires this file (consistency trainer :29-30)"
+                )
             class_value = np.full(cfg.dataset.num_classes, 0.9, np.float32)
-        if ds.get_samples_with_class() or cfg.preprocessor.type != "CopyPaste":
-            from hiast_tpu.registry import PREPROCESSOR
+        from hiast_tpu.registry import PREPROCESSOR
 
-            ds.set_preprocessor(PREPROCESSOR[cfg.preprocessor.type](cfg, ds, class_value))
+        ds.set_preprocessor(PREPROCESSOR[cfg.preprocessor.type](cfg, ds, class_value))
         self.t_dataset = ds
         self.t_stream = infinite_batches(
             ds, self._local_batch(), seed=self._stream_seed(1),

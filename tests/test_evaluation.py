@@ -124,6 +124,66 @@ class TestRecorder:
         assert rec.losses_recorded["a"] == 4.0
 
 
+class TestPartialBatches:
+    def test_tail_batch_one_compile_and_exact_miou(self, eight_devices):
+        """A drop_last=False epoch with a partial tail batch must (a) reuse
+        the single compiled program (the tail is padded to the static batch
+        shape — a fresh compile costs 30-100 s through slow-compile links),
+        (b) produce the exact same IoU as per-sample evaluation (padded
+        samples are all-255-label, contributing zero area), and (c) stay on
+        the data-sharded path (same padded shape as full batches)."""
+        from hiast_tpu.parallel.mesh import make_mesh
+
+        cfg, seg, variables = tiny_segmentor()
+        imgs = RNG.integers(0, 255, size=(5, 32, 64, 3)).astype(np.uint8)
+        lbls = np.where(
+            RNG.random(size=(5, 32, 64)) < 0.2, 255, RNG.integers(0, 19, size=(5, 32, 64))
+        ).astype(np.uint8)
+
+        def batches(bs):
+            for s in range(0, 5, bs):
+                yield {
+                    "images": imgs[s : s + bs],
+                    "labels": lbls[s : s + bs],
+                    "image_paths": [f"{i}.png" for i in range(s, min(s + bs, 5))],
+                }
+
+        cfg.runtime.mesh.data = -1
+        mesh = make_mesh(cfg, batch_size=2)
+        step = make_val_step(seg, (16, 32), 19)
+        iou, miou = run_validation(
+            step, variables["params"], variables["batch_stats"], batches(2), mesh=mesh
+        )
+        assert step._cache_size() == 1  # batches 2,2,1 -> ONE compiled shape
+
+        step1 = make_val_step(seg, (16, 32), 19)
+        iou1, miou1 = run_validation(
+            step1, variables["params"], variables["batch_stats"], batches(1)
+        )
+        np.testing.assert_allclose(iou, iou1, atol=1e-6)
+        assert abs(miou - miou1) < 1e-6
+
+    def test_with_pred_trims_padded_rows(self):
+        cfg, seg, variables = tiny_segmentor()
+        step = make_ms_flip_step(seg, [(16, 32)], False, 19)
+
+        def batches():
+            for n in (2, 1):  # second batch is partial
+                yield {
+                    "images": RNG.integers(0, 255, size=(n, 32, 64, 3)).astype(np.uint8),
+                    "labels": RNG.integers(0, 19, size=(n, 32, 64)).astype(np.uint8),
+                    "image_paths": [f"p{n}_{i}.png" for i in range(n)],
+                }
+
+        _, _, preds = run_validation(
+            step, variables["params"], variables["batch_stats"], batches(),
+            with_pred=True,
+        )
+        # pred rows and paths are both trimmed to the true sample count
+        assert [p[0].shape[0] for p in preds] == [2, 1]
+        assert [len(p[1]) for p in preds] == [2, 1]
+
+
 class TestGraftEntry:
     def test_dryrun_multichip(self, eight_devices):
         import __graft_entry__ as g

@@ -20,11 +20,15 @@ def tiny_cfg():
     return cfg
 
 
-def test_roundtrip_matches_live_forward():
+def test_roundtrip_matches_evaluation_forward():
+    """The exported program must match the EVALUATION path (normalize_image
+    + forward), not a raw un-normalized forward — a deployed artifact that
+    skipped ImageNet normalization would emit garbage predictions."""
     from jax import export
 
     from hiast_tpu.cli.export_model import build_exported
     from hiast_tpu.models.segmentors import build_segmentor
+    from hiast_tpu.selftrain.steps import make_eval_forward
 
     cfg = tiny_cfg()
     h, w = 32, 64
@@ -35,17 +39,24 @@ def test_roundtrip_matches_live_forward():
     segmentor = build_segmentor(cfg, dtype=jnp.bfloat16)
     variables = segmentor.init_variables(jax.random.PRNGKey(0), (1, h, w, 3))
     variables = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+    eval_fwd = make_eval_forward(segmentor)
 
     rng = np.random.default_rng(0)
     for batch in (1, 3):  # symbolic batch dim: two different sizes, one export
         img = jnp.asarray(rng.integers(0, 255, size=(batch, h, w, 3), dtype=np.uint8))
         got = np.asarray(loaded.call(img))
-        want = np.asarray(segmentor.forward(variables, img, train=False)["logits"])
+        want = np.asarray(
+            eval_fwd(variables["params"], variables["batch_stats"], img)
+        )
+        raw = np.asarray(segmentor.forward(variables, img, train=False)["logits"])
         assert got.shape == (batch, h, w, 19)
         # bf16 trunk: two independently-fused programs round differently;
         # bf16 has ~2-3 significant digits, so compare at that scale
         scale = np.abs(want).max()
         np.testing.assert_allclose(got / scale, want / scale, atol=2e-2)
+        # ... and the export must NOT equal the un-normalized forward
+        # (guards against the serve() path dropping normalize_image again)
+        assert np.abs(got - raw).max() / scale > 2e-2
 
 
 def test_multi_platform_export_runs_on_cpu():

@@ -99,8 +99,11 @@ class TestRegularizers:
         logits, labels = rand_logits(), rand_labels()
         conf, _ = L.build_region_weight(jnp.asarray(labels))
         got = float(L.kld_to_uniform(jnp.asarray(logits), conf))
-        # reference _kld (self_training_segmentor.py:153-163)
+        # reference _kld (self_training_segmentor.py:153-163) with the exact
+        # [B, C, H, W] broadcast weight build_region_weight returns there —
+        # val_num counts #pixels * C, NOT #pixels
         w = torch.from_numpy((labels != 255).astype(np.float32))[:, None]
+        w = w * torch.ones_like(to_nchw(logits))  # [B, C, H, W]
         lsm = F.log_softmax(to_nchw(logits), dim=1)
         val_num = (w > 0).sum()
         want = (-1.0 / 19 * w * lsm).sum() / val_num
@@ -111,6 +114,7 @@ class TestRegularizers:
         _, ign = L.build_region_weight(jnp.asarray(labels))
         got = float(L.entropy_sharpen(jnp.asarray(logits), ign))
         w = torch.from_numpy((labels == 255).astype(np.float32))[:, None]
+        w = w * torch.ones_like(to_nchw(logits))  # [B, C, H, W] as in the ref
         lsm = F.log_softmax(to_nchw(logits), dim=1)
         val_num = (w > 0).sum()
         want = (-torch.softmax(to_nchw(logits), dim=1) * w * lsm).sum() / val_num

@@ -132,7 +132,9 @@ class TestSelfTrainingStep:
         assert labels["backbone"]["conv1"]["kernel"] == "backbone"
         assert labels["backbone"]["bn1"]["scale"] == "frozen"
         assert labels["backbone"]["layer1_0"]["downsample_bn"]["scale"] == "frozen"
-        assert labels["representation"]["kernel"] == "head"
+        # vestigial head: never consumed by any loss, so torch Adam never
+        # updates it (grad None) — pinned for update parity (train_state.py)
+        assert labels["representation"]["kernel"] == "frozen"
 
 
 class TestConsistencyStep:

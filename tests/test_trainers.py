@@ -55,25 +55,41 @@ class TestSourceOnlyTrainer:
 
 
 class TestSelfTrainingTrainer:
-    def test_runs_on_pseudo_labels(self, tmp_path):
-        cfg = base_cfg(tmp_path, "SelfTrainingTrainer", iters=8)
+    def test_learns_on_pseudo_labels(self, tmp_path):
+        cfg = base_cfg(tmp_path, "SelfTrainingTrainer", iters=30)
         cfg.model.type = "SelfTrainingSegmentor"
         train, val = synthetic_sets(with_ignore=True)
         trainer = TRAINER[cfg.trainer](
             cfg, datasets={"target": train, "val": val}, backbone_layers=TINY
         )
         trainer.run()
-        assert trainer.model_recorder.best_miou > 0.0
+        # learnable synthetic task: must beat random (1/19 ~= 0.05) clearly
+        assert trainer.model_recorder.best_miou > 0.08
 
 
 class TestConsistencyTrainer:
-    def test_full_hiast_loop(self, tmp_path):
-        cfg = base_cfg(tmp_path, "ConsistencySelfTrainingTrainer", iters=8)
+    def test_full_hiast_loop_learns(self, tmp_path):
+        """The full HIAST loop (EMA teacher, SoftCE consistency, CopyPaste
+        HPA) demonstrably LEARNS above chance on synthetic data.
+
+        The strong view is the weak view here (no CCA): the synthetic task
+        keys classes to palette COLORS, so a color-destroying strong aug
+        makes the student's view unlearnable by construction — a property of
+        the fixture, not the framework (real images carry texture/shape).
+        CCA mechanics are covered by test_steps.py + the micro-round CLI
+        test.  HPA pastes 4 hard classes (14 would patchwork ~55% of every
+        32x64 fixture image, fragmenting the spatial structure the tiny
+        trunk needs — measured 0.053 vs 0.106 mIoU at k=4)."""
+        cfg = base_cfg(tmp_path, "ConsistencySelfTrainingTrainer", iters=60)
         cfg.model.type = "SelfTrainingSegmentor"
         cfg.cst_training.is_enabled = True
         cfg.cst_training.cst_loss.weight = 0.5
+        # fast EMA so the teacher demonstrably TRACKS the learning student
+        # within the test budget (production gamma 0.999 moves ~3% in 30 it)
+        cfg.cst_training.ema_model.gamma = 0.5
         cfg.preprocessor.type = "CopyPaste"
-        cfg.dataset.target.aug_type = ["CCA"]
+        cfg.preprocessor.copy_paste.selected_num_classes = 4
+        cfg.dataset.target.aug_type = ["MS"]
         train, val = synthetic_sets(with_ignore=True)
         trainer = TRAINER[cfg.trainer](
             cfg, datasets={"target": train, "val": val}, backbone_layers=TINY
@@ -83,7 +99,41 @@ class TestConsistencyTrainer:
         trainer.run()
         ckpts = os.listdir(os.path.join(cfg.work_dir, "checkpoints"))
         assert "ema_model_last" in ckpts
-        assert trainer.ema_recorder.best_miou >= 0.0
+        # the full HIAST loop LEARNS above chance — student and EMA teacher
+        assert trainer.model_recorder.best_miou > 0.08
+        assert trainer.ema_recorder.best_miou > 0.08
+
+    def test_hiast_loop_with_cca_runs(self, tmp_path):
+        """With the on-device CCA strong view the loop runs end-to-end and
+        stays finite (learning is asserted above without the
+        color-destroying aug — see docstring)."""
+        cfg = base_cfg(tmp_path, "ConsistencySelfTrainingTrainer", iters=6)
+        cfg.model.type = "SelfTrainingSegmentor"
+        cfg.cst_training.is_enabled = True
+        cfg.cst_training.cst_loss.weight = 0.5
+        cfg.preprocessor.type = "CopyPaste"
+        cfg.dataset.target.aug_type = ["MS", "CCA"]
+        train, val = synthetic_sets(with_ignore=True)
+        trainer = TRAINER[cfg.trainer](
+            cfg, datasets={"target": train, "val": val}, backbone_layers=TINY
+        )
+        trainer.run()
+        assert np.isfinite(trainer.model_recorder.best_miou)
+
+    def test_copy_paste_without_stats_fails_loudly(self, tmp_path):
+        """CopyPaste configured but no samples_with_class stats: must raise
+        (reference base_dataset.py:61-77 raises too) — silently skipping
+        would drop HPA from a 'HIAST' round without a trace."""
+        cfg = base_cfg(tmp_path, "ConsistencySelfTrainingTrainer", iters=4)
+        cfg.model.type = "SelfTrainingSegmentor"
+        cfg.cst_training.is_enabled = True
+        cfg.preprocessor.type = "CopyPaste"
+        train, val = synthetic_sets(with_ignore=True)
+        train.get_samples_with_class = lambda: None  # stats absent
+        with pytest.raises(FileNotFoundError, match="samples_with_class"):
+            TRAINER[cfg.trainer](
+                cfg, datasets={"target": train, "val": val}, backbone_layers=TINY
+            )
 
 
 class TestPreemption:
