@@ -30,10 +30,35 @@ from PIL import Image
 cv2.setNumThreads(0)
 
 from hiast_tpu.data import augment as A
+from hiast_tpu.data import native_ops
 from hiast_tpu.data.remap import remap_label
 from hiast_tpu.registry import DATASET
 
 IGNORE = 255
+
+
+def read_rgb(path: str) -> np.ndarray:
+    """PNG decode via the C++ lib (single inflate + unfilter, no PIL
+    mode-conversion copies — decode is the largest per-sample host cost at
+    2048x1024, scripts/profile_host_pipeline.py); PIL for everything else."""
+    arr = native_ops.decode_png_file(path)
+    if arr is not None:
+        if arr.ndim == 3 and arr.shape[2] == 3:
+            return arr
+        if arr.ndim == 3 and arr.shape[2] == 4:
+            return np.ascontiguousarray(arr[..., :3])
+        if arr.ndim == 2:
+            return np.repeat(arr[..., None], 3, axis=2)
+    return np.asarray(Image.open(path).convert("RGB"), np.uint8)
+
+
+def read_gray(path: str) -> np.ndarray:
+    """8-bit grayscale PNG via the C++ decoder (pseudo-label maps are re-read
+    every epoch); PIL fallback for palette/16-bit/other formats."""
+    arr = native_ops.decode_png_file(path)
+    if arr is not None and arr.ndim == 2:
+        return arr
+    return np.asarray(Image.open(path), np.uint8)
 
 
 def get_path_list(json_path: str, image_dir: str):
@@ -110,11 +135,11 @@ class BaseDataset:
         """-> (img uint8 [H,W,3], lbl uint8 [H,W], img_path)."""
         img_path = self.img_paths[index]
         lbl_path = self.lbl_paths[index]
-        img = np.asarray(Image.open(img_path).convert("RGB"), np.uint8)
+        img = read_rgb(img_path)
         if self.pseudo_dir is not None:
             name = os.path.splitext(os.path.basename(img_path))[0]
             lbl_path = os.path.join(self.pseudo_dir, f"{name}_pseudo_label.png")
-            lbl = np.asarray(Image.open(lbl_path), np.uint8)
+            lbl = read_gray(lbl_path)
         else:
             lbl = self.read_label(lbl_path)
         if lbl is None:  # unlabeled split (Oxford train)
@@ -164,7 +189,7 @@ class BaseDataset:
 @DATASET.register("GTAV")
 class GTAVDataset(BaseDataset):
     def read_label(self, path):
-        lbl = np.asarray(Image.open(path), np.uint8)
+        lbl = read_gray(path)
         return remap_label(lbl, "GTAV")
 
     def build_aug_fn(self, aug_type):
@@ -219,7 +244,7 @@ class SYNTHIADataset(BaseDataset):
 class CityscapesDataset(BaseDataset):
     def read_label(self, path):
         assert self.num_classes in (9, 19)
-        lbl = np.asarray(Image.open(path), np.uint8)
+        lbl = read_gray(path)
         if self.num_classes == 9:  # Cityscapes -> Oxford scenario
             lbl = remap_label(lbl, "Cityscapes9")
         return lbl
@@ -249,10 +274,12 @@ class OxfordDataset(BaseDataset):
         assert self.num_classes == 9
         if not path.endswith(".png"):  # unlabeled train split
             return None
-        lbl = np.asarray(Image.open(path), np.uint8)
+        lbl = native_ops.decode_png_file(path)
+        if lbl is None:
+            lbl = np.asarray(Image.open(path), np.uint8)
         if lbl.ndim == 3:
             lbl = lbl[:, :, 0]
-        return remap_label(lbl, "Oxford")
+        return remap_label(np.ascontiguousarray(lbl), "Oxford")
 
     def build_aug_fn(self, aug_type):
         if not aug_type:

@@ -157,6 +157,39 @@ def crop_flip_resize(
     return oi, ol
 
 
+def decode_png(blob: bytes) -> np.ndarray | None:
+    """8-bit gray/RGB/(+alpha) non-interlaced PNG decode via the C++ lib.
+
+    Returns [H, W] or [H, W, C] uint8, or None when unsupported (palette,
+    16-bit, interlaced) or the lib is unavailable — callers fall back to
+    PIL/cv2.  Single inflate + one unfilter pass, no mode-conversion copies.
+    """
+    fn_h, fn_d = _sym("png_header"), _sym("decode_png")
+    if fn_h is None or fn_d is None:
+        return None
+    buf = np.frombuffer(blob, np.uint8)
+    info = (ctypes.c_int * 4)()
+    if fn_h(_ptr(buf), buf.size, info) != 0:
+        return None
+    h, w, c, _depth = info[0], info[1], info[2], info[3]
+    out = np.empty(h * w * c, np.uint8)
+    n = fn_d(_ptr(buf), buf.size, _ptr(out), out.size)
+    if n != out.size:
+        return None
+    return out.reshape(h, w) if c == 1 else out.reshape(h, w, c)
+
+
+def decode_png_file(path: str) -> np.ndarray | None:
+    """decode_png over a file path (None -> caller falls back to PIL)."""
+    if not path.endswith(".png"):
+        return None
+    try:
+        with open(path, "rb") as f:
+            return decode_png(f.read())
+    except OSError:
+        return None
+
+
 def encode_gray_png(arr: np.ndarray, level: int = 1) -> bytes | None:
     """8-bit grayscale PNG encode via the C++ lib (Up filter + zlib).
 

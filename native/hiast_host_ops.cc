@@ -14,6 +14,8 @@
 //   paste_hard_classes  : fused HPA copy-paste (img+lbl+cp_mask in one pass)
 //   crop_flip_resize_u8 : fused crop + optional hflip + bilinear resize
 //   encode_gray_png     : 8-bit grayscale PNG encode (zlib; pseudo-label maps)
+//   png_header          : parse IHDR -> {h, w, channels, bit_depth}
+//   decode_png          : 8-bit gray/RGB/(+alpha) non-interlaced PNG decode
 //
 // Build: make -C native   (g++ -O3 -march=native -shared -fPIC -lz)
 
@@ -24,6 +26,55 @@
 #include <vector>
 
 #include <zlib.h>
+
+// libdeflate: ~2-3x faster whole-buffer inflate/deflate than zlib; PNG IDAT
+// streams are zlib-wrapped deflate with a known output size, the ideal case.
+#if defined(__has_include)
+#if __has_include(<libdeflate.h>)
+#include <libdeflate.h>
+#define HIAST_HAVE_LIBDEFLATE 1
+#endif
+#endif
+
+namespace {
+
+// one-shot zlib-stream decompress into a caller-sized buffer; returns true
+// when exactly `out_len` bytes were produced
+inline bool zstream_decompress(const uint8_t* in, size_t in_len,
+                               uint8_t* out, size_t out_len) {
+#ifdef HIAST_HAVE_LIBDEFLATE
+  libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+  if (d != nullptr) {
+    size_t actual = 0;
+    int r = libdeflate_zlib_decompress(d, in, in_len, out, out_len, &actual);
+    libdeflate_free_decompressor(d);
+    if (r == LIBDEFLATE_SUCCESS && actual == out_len) return true;
+    return false;
+  }
+#endif
+  uLongf len = out_len;
+  return uncompress(out, &len, in, in_len) == Z_OK && len == out_len;
+}
+
+// one-shot zlib-stream compress; returns compressed size or 0 on failure
+inline size_t zstream_compress(const uint8_t* in, size_t in_len, int level,
+                               std::vector<uint8_t>& out) {
+#ifdef HIAST_HAVE_LIBDEFLATE
+  libdeflate_compressor* c = libdeflate_alloc_compressor(level);
+  if (c != nullptr) {
+    out.resize(libdeflate_zlib_compress_bound(c, in_len));
+    size_t n = libdeflate_zlib_compress(c, in, in_len, out.data(), out.size());
+    libdeflate_free_compressor(c);
+    if (n > 0) return n;
+  }
+#endif
+  uLongf cap = compressBound(in_len);
+  out.resize(cap);
+  if (compress2(out.data(), &cap, in, in_len, level) != Z_OK) return 0;
+  return cap;
+}
+
+}  // namespace
 
 extern "C" {
 
@@ -196,10 +247,9 @@ int64_t encode_gray_png(const uint8_t* data, int h, int w, int level,
     }
   }
 
-  uLongf comp_cap = compressBound(raw.size());
-  std::vector<uint8_t> comp(comp_cap);
-  if (compress2(comp.data(), &comp_cap, raw.data(), raw.size(), level) != Z_OK)
-    return -1;
+  std::vector<uint8_t> comp;
+  size_t comp_cap = zstream_compress(raw.data(), raw.size(), level, comp);
+  if (comp_cap == 0) return -1;
 
   const int64_t total = 8 + (12 + 13) + (12 + static_cast<int64_t>(comp_cap)) + 12;
   if (total > out_cap) return -1;
@@ -218,6 +268,131 @@ int64_t encode_gray_png(const uint8_t* data, int h, int w, int level,
   p = put_chunk(p, "IDAT", comp.data(), static_cast<uint32_t>(comp_cap));
   p = put_chunk(p, "IEND", nullptr, 0);
   return p - out;
+}
+
+namespace {
+
+inline uint32_t be32(const uint8_t* p) {
+  return (static_cast<uint32_t>(p[0]) << 24) | (p[1] << 16) | (p[2] << 8) | p[3];
+}
+
+// channels for PNG color types 0 (gray), 2 (RGB), 4 (gray+A), 6 (RGBA);
+// 0 = unsupported (palette / invalid).
+inline int channels_for(int color_type) {
+  switch (color_type) {
+    case 0: return 1;
+    case 2: return 3;
+    case 4: return 2;
+    case 6: return 4;
+    default: return 0;
+  }
+}
+
+inline int paeth(int a, int b, int c) {
+  int p = a + b - c;
+  int pa = std::abs(p - a), pb = std::abs(p - b), pc = std::abs(p - c);
+  if (pa <= pb && pa <= pc) return a;
+  return pb <= pc ? b : c;
+}
+
+}  // namespace
+
+// Parse the IHDR of a PNG byte buffer.  info[0..3] = {height, width,
+// channels, bit_depth}.  Returns 0 when this decoder supports the file
+// (8-bit, color type 0/2/4/6, non-interlaced), -1 otherwise.
+int64_t png_header(const uint8_t* buf, int64_t n, int* info) {
+  static const uint8_t sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
+  if (n < 33 || std::memcmp(buf, sig, 8) != 0) return -1;
+  if (be32(buf + 8) != 13 || std::memcmp(buf + 12, "IHDR", 4) != 0) return -1;
+  const uint8_t* ihdr = buf + 16;
+  uint32_t w = be32(ihdr), h = be32(ihdr + 4);
+  int depth = ihdr[8], color = ihdr[9], interlace = ihdr[12];
+  int c = channels_for(color);
+  info[0] = static_cast<int>(h);
+  info[1] = static_cast<int>(w);
+  info[2] = c;
+  info[3] = depth;
+  if (depth != 8 || c == 0 || interlace != 0 || w == 0 || h == 0) return -1;
+  return 0;
+}
+
+// Decode an 8-bit gray/RGB/(+alpha) non-interlaced PNG into `out`
+// (h*w*channels bytes, caller-allocated via png_header).  Handles all five
+// row filters.  Returns bytes written or -1.  This is the read-side twin of
+// encode_gray_png: the host pipeline re-reads one pseudo-label PNG per
+// target sample every epoch (reference base_dataset.py:158-178), and decode
+// is the single largest per-sample host cost at production resolution
+// (measured in scripts/profile_host_pipeline.py).
+int64_t decode_png(const uint8_t* buf, int64_t n, uint8_t* out, int64_t out_cap) {
+  int info[4];
+  if (png_header(buf, n, info) != 0) return -1;
+  const int64_t h = info[0], w = info[1], c = info[2];
+  if (out_cap < h * w * c) return -1;
+
+  // concatenate IDAT payloads
+  std::vector<uint8_t> idat;
+  int64_t pos = 8;
+  while (pos + 12 <= n) {
+    uint32_t len = be32(buf + pos);
+    const uint8_t* type = buf + pos + 4;
+    if (pos + 12 + static_cast<int64_t>(len) > n) return -1;
+    if (std::memcmp(type, "IDAT", 4) == 0) {
+      idat.insert(idat.end(), buf + pos + 8, buf + pos + 8 + len);
+    } else if (std::memcmp(type, "IEND", 4) == 0) {
+      break;
+    }
+    pos += 12 + len;
+  }
+  if (idat.empty()) return -1;
+
+  const int64_t stride = w * c;
+  std::vector<uint8_t> raw(static_cast<size_t>((stride + 1) * h));
+  if (!zstream_decompress(idat.data(), idat.size(), raw.data(), raw.size()))
+    return -1;
+
+  // unfilter rows in place into `out`
+  const int bpp = static_cast<int>(c);
+  for (int64_t y = 0; y < h; ++y) {
+    const uint8_t* src = raw.data() + y * (stride + 1);
+    const int filter = src[0];
+    ++src;
+    uint8_t* row = out + y * stride;
+    const uint8_t* prev = y > 0 ? row - stride : nullptr;
+    switch (filter) {
+      case 0:  // None
+        std::memcpy(row, src, stride);
+        break;
+      case 1:  // Sub
+        std::memcpy(row, src, bpp);
+        for (int64_t x = bpp; x < stride; ++x) row[x] = src[x] + row[x - bpp];
+        break;
+      case 2:  // Up
+        if (prev) {
+          for (int64_t x = 0; x < stride; ++x) row[x] = src[x] + prev[x];
+        } else {
+          std::memcpy(row, src, stride);
+        }
+        break;
+      case 3:  // Average
+        for (int64_t x = 0; x < stride; ++x) {
+          int a = x >= bpp ? row[x - bpp] : 0;
+          int b = prev ? prev[x] : 0;
+          row[x] = static_cast<uint8_t>(src[x] + ((a + b) >> 1));
+        }
+        break;
+      case 4:  // Paeth
+        for (int64_t x = 0; x < stride; ++x) {
+          int a = x >= bpp ? row[x - bpp] : 0;
+          int b = prev ? prev[x] : 0;
+          int d = (prev && x >= bpp) ? prev[x - bpp] : 0;
+          row[x] = static_cast<uint8_t>(src[x] + paeth(a, b, d));
+        }
+        break;
+      default:
+        return -1;
+    }
+  }
+  return h * stride;
 }
 
 }  // extern "C"

@@ -1,6 +1,7 @@
 """Native C++ host ops: build, bind, and match the numpy/cv2 fallbacks."""
 import numpy as np
 import pytest
+from PIL import Image
 
 from hiast_tpu.data import native_ops
 
@@ -99,3 +100,60 @@ def test_encode_gray_png_roundtrips_and_beats_pil(lib, tmp_path):
     buf = io.BytesIO()
     t_pil = t(lambda: (buf.seek(0), Image.fromarray(arr, mode="L").save(buf, format="PNG")))
     assert t_native < t_pil, (t_native, t_pil)
+
+
+class TestPngDecode:
+    def test_gray_roundtrip_with_own_encoder(self):
+        arr = np.full((300, 520), 255, np.uint8)
+        arr[40:200, 60:300] = 7
+        arr[220:280] = RNG.integers(0, 19, size=(60, 520), dtype=np.uint8)
+        blob = native_ops.encode_gray_png(arr)
+        if blob is None:
+            import pytest
+
+            pytest.skip("native lib unavailable")
+        got = native_ops.decode_png(blob)
+        assert got is not None
+        np.testing.assert_array_equal(got, arr)
+
+    def test_decodes_pil_written_rgb_and_gray(self, tmp_path):
+        """PIL chooses row filters adaptively (None/Sub/Up/Average/Paeth) —
+        photo-like and flat content exercises the full unfilter switch."""
+        import io
+
+        for tag, arr in {
+            "noise_rgb": RNG.integers(0, 255, size=(97, 143, 3)).astype(np.uint8),
+            "smooth_rgb": np.minimum(
+                np.arange(97)[:, None, None] * np.arange(143)[None, :, None] // 8, 255
+            ).astype(np.uint8) * np.ones((1, 1, 3), np.uint8),
+            "gray": RNG.integers(0, 19, size=(97, 143)).astype(np.uint8),
+        }.items():
+            buf = io.BytesIO()
+            mode = "L" if arr.ndim == 2 else "RGB"
+            Image.fromarray(arr, mode=mode).save(buf, format="PNG")
+            got = native_ops.decode_png(buf.getvalue())
+            if got is None:
+                import pytest
+
+                pytest.skip("native lib unavailable")
+            np.testing.assert_array_equal(got, arr, err_msg=tag)
+
+    def test_dataset_read_helpers_match_pil(self, tmp_path):
+        from hiast_tpu.data.datasets import read_gray, read_rgb
+
+        rgb = RNG.integers(0, 255, size=(64, 80, 3)).astype(np.uint8)
+        gray = RNG.integers(0, 255, size=(64, 80)).astype(np.uint8)
+        Image.fromarray(rgb).save(tmp_path / "a.png")
+        Image.fromarray(gray, mode="L").save(tmp_path / "b.png")
+        np.testing.assert_array_equal(read_rgb(str(tmp_path / "a.png")), rgb)
+        np.testing.assert_array_equal(read_gray(str(tmp_path / "b.png")), gray)
+
+    def test_unsupported_returns_none(self, tmp_path):
+        # 16-bit PNG -> decoder refuses, helper falls back to PIL
+        arr16 = (RNG.integers(0, 65535, size=(8, 8))).astype(np.uint16)
+        import io
+
+        buf = io.BytesIO()
+        Image.fromarray(arr16, mode="I;16").save(buf, format="PNG")
+        assert native_ops.decode_png(buf.getvalue()) is None
+        assert native_ops.decode_png(b"not a png") is None
