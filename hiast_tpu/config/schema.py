@@ -112,10 +112,13 @@ def default_config() -> ConfigNode:
                 # in tests/test_pseudo.py low-vs-full equivalence — and the
                 # stats pass is ~10x faster).
                 "stats_source": "full",
-                # use the Pallas fused selection kernel (ops/pallas/
-                # select_kernel.py) instead of the XLA-fused path: ~20%
-                # faster steady-state on v5e but with a large one-time
-                # Mosaic compile; off by default.
+                # use the Pallas fused selection + histogram kernels
+                # (ops/pallas/select_kernel.py) instead of the XLA-fused
+                # path.  NOT recommended: measured round 3 on v5e, XLA wins
+                # decisively (6.3 ms vs 48 ms selection machinery at batch 8
+                # 768x1536 — XLA fuses softmax/argmax/select at full lane
+                # width; the kernel's [pixels, C=19] layout idles 85% of the
+                # lanes).  Kept as an opt-in reference kernel; see PERF.md.
                 "use_pallas_select": False,
             },
             # ==============================================================

@@ -273,27 +273,38 @@ class IASGenerator(BasePseudoGenerator):
 
     @partial(jax.jit, static_argnums=0)
     def _ias_step(self, logits_full, logits_stats, state: P.IASState, valid):
-        # thresholds from the stats grid (OS8 by default), selection at full res
-        stats_maxprob, stats_pred = P.confidences(logits_stats)
-        w = jnp.broadcast_to(valid[:, None, None], stats_pred.shape)
-        hist = P.class_prob_histogram(
-            stats_maxprob, stats_pred, self.num_classes, self.num_bins, w
-        )
+        # thresholds from the stats grid (OS8 by default), selection at full
+        # res.  Pad samples are a ROW SUFFIX of the flattened pixel order
+        # (self._pad appends), so the Pallas kernels mask them via a single
+        # valid-pixel count.
         ias = self.cfg.pseudo_policy.ias
-        new_thr = P.ias_update(state, hist, ias.alpha, ias.beta, ias.gamma)
         if self.cfg.pseudo_policy.use_pallas_select:
-            from hiast_tpu.ops.pallas.select_kernel import fused_select_batched
-
-            plbl, maxprob, counts, sums, totals = fused_select_batched(
-                logits_full, new_thr
+            from hiast_tpu.ops.pallas.select_kernel import (
+                fused_hist,
+                fused_select_batched,
             )
-            # mask pad samples out: the kernel's global sums/totals include
-            # them, so recompute from the masked plbl (cheap vs the kernel's
-            # select+counts; native valid-mask support is the kernel's TODO)
-            plbl = jnp.where(valid[:, None, None] > 0, plbl, P.IGNORE)
-            counts = P.per_sample_class_counts(plbl, self.num_classes)
-            sums, totals = P.class_prob_sums(plbl, maxprob, self.num_classes)
+
+            n_samples = jnp.sum(valid).astype(jnp.int32)
+            per_sample_stats = 1
+            for s in logits_stats.shape[1:-1]:
+                per_sample_stats *= s
+            _, _, hist = fused_hist(
+                logits_stats, n_samples * per_sample_stats, num_bins=self.num_bins
+            )
+            new_thr = P.ias_update(state, hist, ias.alpha, ias.beta, ias.gamma)
+            per_sample_full = 1
+            for s in logits_full.shape[1:-1]:
+                per_sample_full *= s
+            plbl, maxprob, counts, sums, totals = fused_select_batched(
+                logits_full, new_thr, nvalid=n_samples * per_sample_full
+            )
         else:
+            stats_maxprob, stats_pred = P.confidences(logits_stats)
+            w = jnp.broadcast_to(valid[:, None, None], stats_pred.shape)
+            hist = P.class_prob_histogram(
+                stats_maxprob, stats_pred, self.num_classes, self.num_bins, w
+            )
+            new_thr = P.ias_update(state, hist, ias.alpha, ias.beta, ias.gamma)
             maxprob, pred = P.confidences(logits_full)
             plbl = P.select_pseudo_labels(maxprob, pred, new_thr)
             plbl = jnp.where(valid[:, None, None] > 0, plbl, P.IGNORE)
