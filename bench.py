@@ -44,7 +44,8 @@ def _compiled_flops(jitted, *args) -> float | None:
         return None
 
 
-def bench_train_step(batch_size: int, iters: int = 20):
+def bench_train_step(batch_size: int, iters: int = 20, seg_model: str = "DeepLab_V2",
+                     remat: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -61,11 +62,13 @@ def bench_train_step(batch_size: int, iters: int = 20):
     populate()
     cfg = default_config()
     cfg.model.type = "SelfTrainingSegmentor"
+    cfg.model.seg_model.type = seg_model
     cfg.cst_training.is_enabled = True
     cfg.cst_training.cst_loss.weight = 0.5
     cfg.train.batch_size = batch_size
     cfg.train.lr = 3e-6
     cfg.train.total_iter = 8000
+    cfg.runtime.remat = remat
 
     segmentor = build_segmentor(cfg, dtype=jnp.bfloat16)
     h, w = 512, 1024
@@ -222,6 +225,20 @@ def main():
 
     pseudo_ips, pseudo_dt, pseudo_mfu = _run_in_subprocess("bench_pseudo_gen")
 
+    # stretch backbone (BASELINE.json): SegFormer MiT-B5 consistency step
+    # with remat, same shapes — proves the transformer flagship is
+    # train-ready at production size, not just unit-tested
+    sf_ips = sf_dt = sf_mfu = None
+    for bs in (8, 4, 2):
+        try:
+            sf_ips, sf_dt, sf_mfu = _run_in_subprocess(
+                "bench_train_step", bs, 10, "SegFormer_B5", True
+            )
+            sf_bs = bs
+            break
+        except Exception:  # noqa: BLE001 - OOM fallback / optional metric
+            continue
+
     print(
         json.dumps(
             {
@@ -236,6 +253,9 @@ def main():
                     "pseudo_gen_imgs_per_sec": round(pseudo_ips, 2),
                     "pseudo_gen_s_per_iter": round(pseudo_dt, 4),
                     "pseudo_gen_mfu": round(pseudo_mfu, 4) if pseudo_mfu else None,
+                    "segformer_b5_imgs_per_sec": round(sf_ips, 2) if sf_ips else None,
+                    "segformer_b5_batch": sf_bs if sf_ips else None,
+                    "segformer_b5_mfu": round(sf_mfu, 4) if (sf_ips and sf_mfu) else None,
                     "mfu_note": "XLA cost-analysis FLOPs / wall time / chip bf16 peak; pseudo-gen includes tunnel D2H of label maps in wall time",
                     "baseline_note": "vs documented estimate of 5 imgs/s/GPU for the reference fp16 PyTorch loop",
                 },

@@ -124,11 +124,14 @@ def make_d_optimizer(cfg) -> optax.GradientTransformation:
 
 def lr_schedule_for_d(cfg):
     """The reference schedules the D optimizer with the same scheduler type
-    but the discriminator's own base lr (utils.py:157-163)."""
+    at the discriminator's own base lr — but build_scheduler hardcodes
+    ``eta_min = cfg.train.lr * 1e-3`` (the GENERATOR's lr) for every
+    optimizer it wraps (reference schedulers.py:9), so the D cosine floor is
+    the generator-derived value, not d_lr * 1e-3."""
     base = cfg.model.discriminator.lr
     total = cfg.train.total_iter
     if cfg.train.lr_scheduler.type == "Cosine":
-        eta_min = base * 1e-3
+        eta_min = cfg.train.lr * 1e-3
         return lambda t: eta_min + (base - eta_min) * 0.5 * (1 + jnp.cos(jnp.pi * t / total))
     power = cfg.train.lr_scheduler.poly.power
     return lambda t: base * (1.0 - t / total) ** power

@@ -1,5 +1,11 @@
 """Ablate the HIAST consistency train step on the real TPU: time each
-variant to attribute cost (teacher fwd, CCA aug, full-res losses, backward).
+variant to attribute cost (teacher fwd, CCA aug, full-res losses, backward)
+AND its MFU (XLA cost-analysis FLOPs / wall / chip peak) — the per-variant
+MFU decomposition is the headroom proof: if the fwd+bwd-only step already
+runs at the measured per-conv ceiling, the full step's lower MFU is
+arithmetic dilution by the teacher forward (fewer FLOPs/s by nature: no
+backward to amortize its bandwidth) and the zero-FLOP CCA pass, not
+unclaimed compute.
 
 Run: python scripts/profile_train.py  (one TPU process at a time)
 """
@@ -26,6 +32,28 @@ def timeit(fn, iters=10, windows=3):
             fn()
         best = min(best, (time.time() - t0) / iters)
     return best
+
+
+def flops_of(jitted, *args):
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = float(ca.get("flops", float("nan")))
+        return f if np.isfinite(f) and f > 0 else None
+    except Exception:  # noqa: BLE001 - diagnostics only
+        return None
+
+
+def measure(report, tag, jitted, run, *flop_args):
+    from hiast_tpu.runtime_init import chip_peak_flops
+
+    dt = timeit(run)
+    report[tag] = dt
+    flops = flops_of(jitted, *flop_args)
+    peak = chip_peak_flops()
+    if flops and peak:
+        report[f"{tag}_mfu"] = flops / dt / peak
 
 
 def main(batch_size=8, h=512, w=1024):
@@ -83,21 +111,21 @@ def main(batch_size=8, h=512, w=1024):
 
     # 1) full consistency step (bench baseline)
     step_full = jax.jit(S.make_consistency_step(segmentor, tx, strong_aug="CCA"))
-    report["consistency_cca_full"] = timeit(
-        lambda: sync(step_full(state, batch, key)[1]["target_seg_loss"])
-    )
+    measure(report, "consistency_cca_full", step_full,
+            lambda: sync(step_full(state, batch, key)[1]["target_seg_loss"]),
+            state, batch, key)
 
     # 2) consistency without on-device CCA (weak==strong)
     step_nocca = jax.jit(S.make_consistency_step(segmentor, tx, strong_aug=None))
-    report["consistency_nocca"] = timeit(
-        lambda: sync(step_nocca(state, batch, key)[1]["target_seg_loss"])
-    )
+    measure(report, "consistency_nocca", step_nocca,
+            lambda: sync(step_nocca(state, batch, key)[1]["target_seg_loss"]),
+            state, batch, key)
 
     # 3) plain self-training step (no teacher fwd, no cst loss)
     step_st = jax.jit(S.make_self_training_step(segmentor, tx))
-    report["self_training"] = timeit(
-        lambda: sync(step_st(state, batch, key)[1]["target_seg_loss"])
-    )
+    measure(report, "self_training", step_st,
+            lambda: sync(step_st(state, batch, key)[1]["target_seg_loss"]),
+            state, batch, key)
 
     # 4) source-only step (plain CE only — no KLD/entropy region losses)
     cfg2, seg2, tx2, state2, _ = build()
@@ -107,22 +135,22 @@ def main(batch_size=8, h=512, w=1024):
     seg_so = SourceOnlySegmentor(cfg2, dtype=jnp.bfloat16)
     seg_so.module = seg2.module
     step_so = jax.jit(S.make_source_only_step(seg_so, tx2))
-    report["source_only"] = timeit(
-        lambda: sync(step_so(state2, s_batch, key)[1]["seg_loss"])
-    )
+    measure(report, "source_only", step_so,
+            lambda: sync(step_so(state2, s_batch, key)[1]["seg_loss"]),
+            state2, s_batch, key)
 
     # 5) eval forward only (teacher-cost proxy)
     fwd = jax.jit(S.make_eval_forward(segmentor))
-    report["fwd_only"] = timeit(
-        lambda: sync(fwd(state.params, state.batch_stats, batch["t_img"])[0, 0, 0, 0])
-    )
+    measure(report, "fwd_only", fwd,
+            lambda: sync(fwd(state.params, state.batch_stats, batch["t_img"])[0, 0, 0, 0]),
+            state.params, state.batch_stats, batch["t_img"])
 
     # 6) consistency at loss_resolution=os8 (fast mode)
     cfg3, seg3, tx3, state3, _ = build(loss_res="os8")
     step_os8 = jax.jit(S.make_consistency_step(seg3, tx3, strong_aug="CCA"))
-    report["consistency_cca_os8"] = timeit(
-        lambda: sync(step_os8(state3, batch, key)[1]["target_seg_loss"])
-    )
+    measure(report, "consistency_cca_os8", step_os8,
+            lambda: sync(step_os8(state3, batch, key)[1]["target_seg_loss"]),
+            state3, batch, key)
 
     print("PROFILE " + json.dumps({k: round(v, 4) if isinstance(v, float) else v for k, v in report.items()}))
 

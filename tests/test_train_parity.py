@@ -322,3 +322,199 @@ def test_bf16_trajectory_drift_bounded():
         t16 = sum(got.values())
         worst = max(worst, abs(t16 - t32) / max(abs(t32), 1e-8))
     assert worst < 0.05, f"bf16 total-loss drift {worst:.4f} exceeds 5%"
+
+
+# ---------------------------------------------------------------------------
+# adversarial warmup trajectory parity (G + D optimizers)
+# ---------------------------------------------------------------------------
+D_LR = 5e-4
+
+
+class TorchFCDiscriminator(tnn.Module):
+    """Reference discriminator (code/sseg/models/modules/discriminator.py)."""
+
+    def __init__(self, num_classes=19, ndf=64):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(num_classes, ndf, 4, stride=2, padding=1)
+        self.conv2 = tnn.Conv2d(ndf, ndf * 2, 4, stride=2, padding=1)
+        self.conv3 = tnn.Conv2d(ndf * 2, ndf * 4, 4, stride=2, padding=1)
+        self.conv4 = tnn.Conv2d(ndf * 4, ndf * 8, 4, stride=2, padding=1)
+        self.classifier = tnn.Conv2d(ndf * 8, 1, 4, stride=2, padding=1)
+
+    def forward(self, x):
+        act = tnn.functional.leaky_relu
+        x = act(self.conv1(x), 0.2)
+        x = act(self.conv2(x), 0.2)
+        x = act(self.conv3(x), 0.2)
+        x = act(self.conv4(x), 0.2)
+        return self.classifier(x)
+
+    def flax_params(self):
+        out = {}
+        for name in ("conv1", "conv2", "conv3", "conv4", "classifier"):
+            m = getattr(self, name)
+            out[name] = {
+                "kernel": np.array(m.weight.detach().numpy().transpose(2, 3, 1, 0)),
+                "bias": np.array(m.bias.detach().numpy()),
+            }
+        return {"params": out}
+
+
+def adv_cfg():
+    cfg = parity_cfg()
+    cfg.model.type = "AdversarialWarmupSegmentor"
+    cfg.model.discriminator.is_enabled = True
+    cfg.model.discriminator.lr = D_LR
+    cfg.model.discriminator.is_entropy_input = False  # AdaptSegNet
+    cfg.model.discriminator.D_loss.type = "BCEWithLogits"
+    cfg.model.discriminator.D_loss.weight = 1.0
+    cfg.model.discriminator.D_loss.adv_weight = 0.01
+    cfg.model.predictor.seg_loss.source_weight = 1.0
+    cfg.model.predictor.ent_loss.weight = 1.0  # MinEnt on target
+    return cfg
+
+
+class TorchAdvHarness:
+    """Reference G/D update semantics (base_trainer.py:127-141 +
+    adversarial_warmup_segmentor.py:33-69)."""
+
+    def __init__(self, cfg, twin, disc):
+        self.cfg = cfg
+        self.model = twin
+        self.disc = disc
+        for m in self.model.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                for p in m.parameters():
+                    p.requires_grad = False
+        groups = [
+            {"params": list(self.model.backbone.parameters()), "lr": LR},
+            {
+                "params": list(self.model.aspp_convs.parameters())
+                + list(self.model.representation.parameters()),
+                "lr": LR * 10,
+            },
+        ]
+        self.g_opt = torch.optim.Adam(groups, betas=(0.9, 0.999), weight_decay=5e-4)
+        self.d_opt = torch.optim.Adam(disc.parameters(), lr=D_LR, betas=(0.9, 0.999))
+        # reference build_scheduler: eta_min = cfg.train.lr * 1e-3 for BOTH
+        self.g_sched = torch.optim.lr_scheduler.CosineAnnealingLR(
+            self.g_opt, T_max=TOTAL_ITER, eta_min=LR * 1e-3
+        )
+        self.d_sched = torch.optim.lr_scheduler.CosineAnnealingLR(
+            self.d_opt, T_max=TOTAL_ITER, eta_min=LR * 1e-3
+        )
+
+    def _forward(self, img):
+        logits, _ = self.model(img)
+        return F.interpolate(logits, size=img.shape[2:], mode="bilinear", align_corners=True)
+
+    def step(self, batch):
+        cfg = self.cfg
+        s_img = TorchHarness._norm(batch["s_img"])
+        t_img = TorchHarness._norm(batch["t_img"])
+        s_lbl = torch.from_numpy(batch["s_lbl"].astype(np.int64))
+        self.model.train()
+        s_logits = self._forward(s_img)
+        t_logits = self._forward(t_img)
+        bce = tnn.BCEWithLogitsLoss()
+        losses = {}
+        losses["source_seg_loss"] = cfg.model.predictor.seg_loss.source_weight * F.cross_entropy(
+            s_logits, s_lbl, ignore_index=255
+        )
+        t_d = self.disc(torch.softmax(t_logits, dim=1))
+        losses["adv_loss"] = cfg.model.discriminator.D_loss.adv_weight * bce(
+            t_d, torch.zeros_like(t_d)
+        )
+        s_d_det = self.disc(torch.softmax(s_logits.detach(), dim=1))
+        t_d_det = self.disc(torch.softmax(t_logits.detach(), dim=1))
+        losses["D_loss"] = cfg.model.discriminator.D_loss.weight * (
+            bce(s_d_det, torch.zeros_like(s_d_det)) + bce(t_d_det, torch.ones_like(t_d_det))
+        ) / 2
+        # MinEnt (entropy_loss, adversarial_warmup_segmentor.py:78-86)
+        v = torch.softmax(t_logits, dim=1)
+        n, c, h, w = v.shape
+        losses["target_ent_loss"] = cfg.model.predictor.ent_loss.weight * (
+            -torch.sum(v * torch.log2(v + 1e-30)) / (n * h * w * np.log2(c))
+        )
+        # update_model: G step (sum of non-D losses), then D step
+        g_loss = sum(v for k, v in losses.items() if "D_" not in k)
+        self.g_opt.zero_grad()
+        g_loss.backward(retain_graph=True)
+        self.g_opt.step()
+        self.d_opt.zero_grad()
+        losses["D_loss"].backward()
+        self.d_opt.step()
+        self.g_sched.step()
+        self.d_sched.step()
+        return {k: float(v.detach()) for k, v in losses.items()}
+
+
+class TestAdversarialDynamicsParity:
+    @pytest.fixture(scope="class")
+    def adv_trajectories(self):
+        import jax
+
+        from hiast_tpu.selftrain.steps import make_adversarial_step
+        from hiast_tpu.selftrain.train_state import make_d_optimizer
+
+        cfg = adv_cfg()
+        twin = randomized_twin()
+        torch.manual_seed(5)
+        disc = TorchFCDiscriminator()
+        init_vars = torch_state_dict_to_flax(twin.state_dict_reference_names())
+        d_init = disc.flax_params()
+
+        rng = np.random.default_rng(17)
+        batches = []
+        for _ in range(5):
+            batches.append({
+                "s_img": rng.integers(0, 255, size=(B, H, W, 3), dtype=np.uint8),
+                "t_img": rng.integers(0, 255, size=(B, H, W, 3), dtype=np.uint8),
+                "s_lbl": np.where(
+                    rng.random(size=(B, H, W)) < 0.2,
+                    255,
+                    rng.integers(0, 19, size=(B, H, W)),
+                ).astype(np.uint8),
+            })
+
+        harness = TorchAdvHarness(cfg, twin, disc)
+        torch_log = [harness.step(b) for b in batches]
+
+        segmentor = build_segmentor(cfg, dtype=jnp.float32, backbone_layers=LAYERS)
+        params = jax.tree.map(jnp.asarray, init_vars["params"])
+        tx = make_optimizer(cfg, params)
+        d_tx = make_d_optimizer(cfg)
+        d_params = jax.tree.map(jnp.asarray, d_init)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=jax.tree.map(jnp.asarray, init_vars["batch_stats"]),
+            opt_state=tx.init(params),
+            d_params=d_params,
+            d_opt_state=d_tx.init(d_params),
+        )
+        step = jax.jit(make_adversarial_step(segmentor, tx, d_tx))
+        jax_log = []
+        for b in batches:
+            state, losses = step(state, b, jax.random.PRNGKey(0))
+            jax_log.append({k: float(v) for k, v in losses.items()})
+        return harness, state, torch_log, jax_log
+
+    def test_g_and_d_losses_track_torch(self, adv_trajectories):
+        _, _, want_log, got_log = adv_trajectories
+        for i, (want, got) in enumerate(zip(want_log, got_log)):
+            assert set(want) == set(got), (i, want.keys(), got.keys())
+            for k in want:
+                rel = abs(got[k] - want[k]) / max(abs(want[k]), 1e-8)
+                tol = 5e-5 if i == 0 else 2e-3
+                assert rel < tol, f"step {i} {k}: jax={got[k]} torch={want[k]}"
+
+    def test_final_g_and_d_params_match(self, adv_trajectories):
+        harness, state, _, _ = adv_trajectories
+        want = torch_state_dict_to_flax(harness.model.state_dict_reference_names())
+        assert_trees_close(state.params, want["params"], 5e-3, 1e-4, "g_params")
+        d_want = harness.disc.flax_params()
+        assert_trees_close(state.d_params, d_want, 5e-3, 1e-4, "d_params")
+        assert_trees_close(
+            state.batch_stats, want["batch_stats"], 2e-2, 2e-3, "batch_stats"
+        )
