@@ -207,11 +207,24 @@ def _batched_blur(x, rng):
 
 
 def _batched_equalize(x):
-    """Per-sample per-channel histogram equalization, subsampled histogram."""
+    """Per-sample per-channel histogram equalization.
+
+    Statistics: 256-level CDF from a 4x4-subsampled grid (a CDF is a
+    statistic; 16x fewer scatter elements, visually identical LUT).
+
+    Application: the exact 256-level one-hot LUT costs ~770 VPU ops/pixel
+    (measured 18 ms/apply at 8x512x1024 — it dominated the whole CCA chain);
+    a per-pixel gather serializes on TPU.  The CDF is monotone, so the LUT
+    is evaluated as a 32-segment PIECEWISE-LINEAR interpolation instead
+    (~130 ops/pixel, measured ~5x faster): hat-function weights over 33
+    knots sampled from the 256-entry LUT.  Equalization of an augmentation
+    view is distribution-level by design (SURVEY §7: the reference's host
+    SomeOf pipeline is not replicated bit-for-bit); the interpolation error
+    is bounded by half a segment of CDF variation.
+    """
     b = x.shape[0]
     q = jnp.clip(x, 0, 255).astype(jnp.int32)  # [B,H,W,3]
     qs = q[:, ::4, ::4, :]  # histogram source
-    n = qs.shape[1] * qs.shape[2]
     chan = jnp.arange(3, dtype=jnp.int32)
     samp = jnp.arange(b, dtype=jnp.int32)
     flat = (
@@ -224,12 +237,14 @@ def _batched_equalize(x):
     cdf_min = jnp.take_along_axis(cdf, jnp.argmax(hist > 0, axis=-1)[..., None], axis=-1)
     denom = jnp.maximum(cdf[..., -1:] - cdf_min, 1.0)
     lut = jnp.clip(jnp.round((cdf - cdf_min) / denom * 255.0), 0, 255)  # [B,3,256]
-    # LUT application as a one-hot reduce (fused compare+multiply+sum over
-    # the 256 levels) — a 12.6M-element gather serializes on TPU.  The LUT
-    # holds 8-bit values, so the image dtype loses nothing.
-    levels = jnp.arange(256, dtype=jnp.int32)
-    onehot = (q[..., None] == levels).astype(x.dtype)  # [B,H,W,3,256] (fused)
-    return jnp.einsum("bhwck,bck->bhwc", onehot, lut.astype(x.dtype))
+
+    # 33 knots at levels 0, 8, ..., 248, 255; weights in fp32 (bf16's ulp at
+    # xk~32 is 0.25 — it would quantize the interpolation fraction)
+    knots = jnp.concatenate([lut[:, :, ::8], lut[:, :, -1:]], axis=-1)  # [B,3,33]
+    xk = jnp.clip(x.astype(jnp.float32), 0.0, 255.0) / 8.0  # [B,H,W,3]
+    j = jnp.arange(33, dtype=jnp.float32)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(xk[..., None] - j))  # [B,H,W,3,33]
+    return jnp.einsum("bhwck,bck->bhwc", w, knots).astype(x.dtype)
 
 
 def _batched_color_jitter(x, rng):
