@@ -191,6 +191,50 @@ def bench_pseudo_gen(batch_size: int = 8, iters: int = 10):
     return batch_size / best, best, mfu
 
 
+def bench_eval(batch_size: int = 8, iters: int = 20):
+    """Validation/serving forward at the reference eval size (768x1536,
+    single scale, no flip — configs/validate.yaml): throughput at
+    ``batch_size`` plus batch-1 latency (the serving-relevant number)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hiast_tpu.runtime_init import init_runtime
+
+    init_runtime()
+
+    from hiast_tpu.config import default_config
+    from hiast_tpu.models.segmentors import build_segmentor
+    from hiast_tpu.registry import populate
+    from hiast_tpu.selftrain.steps import make_eval_forward
+
+    populate()
+    cfg = default_config()
+    cfg.model.type = "SelfTrainingSegmentor"
+    segmentor = build_segmentor(cfg, dtype=jnp.bfloat16)
+    h, w = 768, 1536
+    v = segmentor.init_variables(jax.random.PRNGKey(0), (1, h, w, 3))
+    variables = {"params": v["params"], "batch_stats": v["batch_stats"]}
+    fwd = jax.jit(make_eval_forward(segmentor))
+    rng = np.random.default_rng(0)
+
+    def run(bs, n):
+        imgs = jnp.asarray(rng.integers(0, 255, size=(bs, h, w, 3), dtype=np.uint8))
+        out = fwd(variables["params"], variables["batch_stats"], imgs)
+        _sync(out[0, 0, 0, 0])
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            for _ in range(n):
+                out = fwd(variables["params"], variables["batch_stats"], imgs)
+                _sync(out[0, 0, 0, 0])
+            best = min(best, (time.time() - t0) / n)
+        return best
+
+    dt_batch = run(batch_size, iters)
+    dt_one = run(1, iters)
+    return batch_size / dt_batch, dt_batch, dt_one
+
+
 def _run_in_subprocess(fn_name: str, *args):
     """Each benchmark in its own process: the train step's donated HBM
     buffers and jit cache otherwise degrade the pseudo-gen measurement."""
@@ -225,6 +269,12 @@ def main():
 
     pseudo_ips, pseudo_dt, pseudo_mfu = _run_in_subprocess("bench_pseudo_gen")
 
+    eval_ips = eval_dt1 = None
+    try:
+        eval_ips, _eval_dt, eval_dt1 = _run_in_subprocess("bench_eval")
+    except Exception:  # noqa: BLE001 - optional metric
+        pass
+
     # stretch backbone (BASELINE.json): SegFormer MiT-B5 consistency step
     # with remat, same shapes — proves the transformer flagship is
     # train-ready at production size, not just unit-tested
@@ -253,6 +303,8 @@ def main():
                     "pseudo_gen_imgs_per_sec": round(pseudo_ips, 2),
                     "pseudo_gen_s_per_iter": round(pseudo_dt, 4),
                     "pseudo_gen_mfu": round(pseudo_mfu, 4) if pseudo_mfu else None,
+                    "eval_imgs_per_sec_768x1536": round(eval_ips, 2) if eval_ips else None,
+                    "eval_batch1_latency_s": round(eval_dt1, 4) if eval_dt1 else None,
                     "segformer_b5_imgs_per_sec": round(sf_ips, 2) if sf_ips else None,
                     "segformer_b5_batch": sf_bs if sf_ips else None,
                     "segformer_b5_mfu": round(sf_mfu, 4) if (sf_ips and sf_mfu) else None,
