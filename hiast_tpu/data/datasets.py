@@ -42,7 +42,7 @@ def read_rgb(path: str) -> np.ndarray:
     mode-conversion copies — decode is the largest per-sample host cost at
     2048x1024, scripts/profile_host_pipeline.py); PIL for everything else."""
     arr = native_ops.decode_png_file(path)
-    if arr is not None:
+    if arr is not None and arr.dtype == np.uint8:
         if arr.ndim == 3 and arr.shape[2] == 3:
             return arr
         if arr.ndim == 3 and arr.shape[2] == 4:
@@ -56,7 +56,7 @@ def read_gray(path: str) -> np.ndarray:
     """8-bit grayscale PNG via the C++ decoder (pseudo-label maps are re-read
     every epoch); PIL fallback for palette/16-bit/other formats."""
     arr = native_ops.decode_png_file(path)
-    if arr is not None and arr.ndim == 2:
+    if arr is not None and arr.ndim == 2 and arr.dtype == np.uint8:
         return arr
     return np.asarray(Image.open(path), np.uint8)
 
@@ -209,20 +209,35 @@ class GTAVDataset(BaseDataset):
 
 @DATASET.register("SYNTHIA")
 class SYNTHIADataset(BaseDataset):
+    _use_imageio: bool | None = None  # probe PNG-FI once, not per image
+
     def read_label(self, path):
         """SYNTHIA labels are 16-bit RGB PNGs with the class id in channel 0
-        (reference synthia_dataset.py:16 reads via imageio PNG-FI).  The
-        FreeImage backend is often unavailable, so fall back to cv2's 16-bit
-        reader (BGR order: channel 0 of RGB == channel 2 of BGR)."""
-        try:
-            import imageio.v2 as imageio
+        (reference synthia_dataset.py:16 reads via imageio PNG-FI).  Decode
+        order: native C++ (16-bit path, libdeflate) -> imageio PNG-FI
+        (probed once; the FreeImage backend is often unavailable) -> cv2's
+        16-bit reader (BGR order: channel 0 of RGB == channel 2 of BGR)."""
+        raw = native_ops.decode_png_file(path)
+        if raw is not None and raw.ndim == 3:
+            lbl = raw[:, :, 0]
+        else:
+            if SYNTHIADataset._use_imageio is None:
+                try:
+                    import imageio.v2 as imageio  # noqa: F401
 
-            lbl = np.asarray(imageio.imread(path, format="PNG-FI"))[:, :, 0]
-        except Exception:  # noqa: BLE001 - FreeImage plugin missing
-            raw = cv2.imread(path, cv2.IMREAD_UNCHANGED)
-            if raw is None:
-                raise FileNotFoundError(path)
-            lbl = raw[:, :, 2] if raw.ndim == 3 else raw  # BGR -> red channel
+                    imageio.imread(path, format="PNG-FI")
+                    SYNTHIADataset._use_imageio = True
+                except Exception:  # noqa: BLE001 - FreeImage plugin missing
+                    SYNTHIADataset._use_imageio = False
+            if SYNTHIADataset._use_imageio:
+                import imageio.v2 as imageio
+
+                lbl = np.asarray(imageio.imread(path, format="PNG-FI"))[:, :, 0]
+            else:
+                raw = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+                if raw is None:
+                    raise FileNotFoundError(path)
+                lbl = raw[:, :, 2] if raw.ndim == 3 else raw  # BGR -> red chan
         return remap_label(np.clip(lbl, 0, 255).astype(np.uint8), "SYNTHIA")
 
     def build_aug_fn(self, aug_type):

@@ -158,11 +158,12 @@ def crop_flip_resize(
 
 
 def decode_png(blob: bytes) -> np.ndarray | None:
-    """8-bit gray/RGB/(+alpha) non-interlaced PNG decode via the C++ lib.
+    """8/16-bit gray/RGB/(+alpha) non-interlaced PNG decode via the C++ lib.
 
-    Returns [H, W] or [H, W, C] uint8, or None when unsupported (palette,
-    16-bit, interlaced) or the lib is unavailable — callers fall back to
-    PIL/cv2.  Single inflate + one unfilter pass, no mode-conversion copies.
+    Returns [H, W] or [H, W, C] uint8 (or uint16 for 16-bit files, e.g.
+    SYNTHIA label PNGs), or None when unsupported (palette, interlaced) or
+    the lib is unavailable — callers fall back to PIL/cv2.  Single inflate
+    + one unfilter pass, no mode-conversion copies.
     """
     fn_h, fn_d = _sym("png_header"), _sym("decode_png")
     if fn_h is None or fn_d is None:
@@ -171,11 +172,14 @@ def decode_png(blob: bytes) -> np.ndarray | None:
     info = (ctypes.c_int * 4)()
     if fn_h(_ptr(buf), buf.size, info) != 0:
         return None
-    h, w, c, _depth = info[0], info[1], info[2], info[3]
-    out = np.empty(h * w * c, np.uint8)
+    h, w, c, depth = info[0], info[1], info[2], info[3]
+    nbytes = h * w * c * (depth // 8)
+    out = np.empty(nbytes, np.uint8)
     n = fn_d(_ptr(buf), buf.size, _ptr(out), out.size)
     if n != out.size:
         return None
+    if depth == 16:  # PNG stores big-endian samples
+        out = out.view(">u2").astype(np.uint16)
     return out.reshape(h, w) if c == 1 else out.reshape(h, w, c)
 
 

@@ -299,7 +299,7 @@ inline int paeth(int a, int b, int c) {
 
 // Parse the IHDR of a PNG byte buffer.  info[0..3] = {height, width,
 // channels, bit_depth}.  Returns 0 when this decoder supports the file
-// (8-bit, color type 0/2/4/6, non-interlaced), -1 otherwise.
+// (8- or 16-bit, color type 0/2/4/6, non-interlaced), -1 otherwise.
 int64_t png_header(const uint8_t* buf, int64_t n, int* info) {
   static const uint8_t sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
   if (n < 33 || std::memcmp(buf, sig, 8) != 0) return -1;
@@ -312,21 +312,25 @@ int64_t png_header(const uint8_t* buf, int64_t n, int* info) {
   info[1] = static_cast<int>(w);
   info[2] = c;
   info[3] = depth;
-  if (depth != 8 || c == 0 || interlace != 0 || w == 0 || h == 0) return -1;
+  if ((depth != 8 && depth != 16) || c == 0 || interlace != 0 || w == 0 || h == 0)
+    return -1;
   return 0;
 }
 
-// Decode an 8-bit gray/RGB/(+alpha) non-interlaced PNG into `out`
-// (h*w*channels bytes, caller-allocated via png_header).  Handles all five
-// row filters.  Returns bytes written or -1.  This is the read-side twin of
-// encode_gray_png: the host pipeline re-reads one pseudo-label PNG per
-// target sample every epoch (reference base_dataset.py:158-178), and decode
-// is the single largest per-sample host cost at production resolution
-// (measured in scripts/profile_host_pipeline.py).
+// Decode an 8/16-bit gray/RGB/(+alpha) non-interlaced PNG into `out`
+// (h*w*channels*(depth/8) bytes, caller-allocated via png_header).  Handles
+// all five row filters; 16-bit samples stay big-endian per the PNG spec
+// (the Python wrapper reinterprets as >u2).  Returns bytes written or -1.
+// This is the read-side twin of encode_gray_png: the host pipeline re-reads
+// one pseudo-label PNG per target sample every epoch (reference
+// base_dataset.py:158-178), and decode is the single largest per-sample
+// host cost at production resolution (scripts/profile_host_pipeline.py);
+// 16-bit covers SYNTHIA's label PNGs.
 int64_t decode_png(const uint8_t* buf, int64_t n, uint8_t* out, int64_t out_cap) {
   int info[4];
   if (png_header(buf, n, info) != 0) return -1;
-  const int64_t h = info[0], w = info[1], c = info[2];
+  const int64_t h = info[0], w = info[1];
+  const int64_t c = static_cast<int64_t>(info[2]) * (info[3] / 8);  // bytes/pixel
   if (out_cap < h * w * c) return -1;
 
   // concatenate IDAT payloads

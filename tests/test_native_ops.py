@@ -148,12 +148,25 @@ class TestPngDecode:
         np.testing.assert_array_equal(read_rgb(str(tmp_path / "a.png")), rgb)
         np.testing.assert_array_equal(read_gray(str(tmp_path / "b.png")), gray)
 
-    def test_unsupported_returns_none(self, tmp_path):
-        # 16-bit PNG -> decoder refuses, helper falls back to PIL
-        arr16 = (RNG.integers(0, 65535, size=(8, 8))).astype(np.uint16)
+    def test_16bit_decode(self):
+        """16-bit PNGs (SYNTHIA labels) decode to uint16 with exact values."""
         import io
 
+        arr16 = (RNG.integers(0, 65535, size=(24, 40))).astype(np.uint16)
         buf = io.BytesIO()
         Image.fromarray(arr16, mode="I;16").save(buf, format="PNG")
+        got = native_ops.decode_png(buf.getvalue())
+        if got is None:
+            pytest.skip("native lib unavailable")
+        assert got.dtype == np.uint16
+        np.testing.assert_array_equal(got, arr16)
+
+    def test_unsupported_returns_none(self, tmp_path):
+        import io
+
+        # palette PNG -> decoder refuses, helpers fall back to PIL
+        pal = Image.fromarray(RNG.integers(0, 19, size=(8, 8)).astype(np.uint8)).convert("P")
+        buf = io.BytesIO()
+        pal.save(buf, format="PNG")
         assert native_ops.decode_png(buf.getvalue()) is None
         assert native_ops.decode_png(b"not a png") is None
