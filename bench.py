@@ -272,8 +272,10 @@ def main():
     eval_ips = eval_dt1 = None
     try:
         eval_ips, _eval_dt, eval_dt1 = _run_in_subprocess("bench_eval")
-    except Exception:  # noqa: BLE001 - optional metric
-        pass
+    except Exception as e:  # noqa: BLE001 - optional metric
+        import sys
+
+        print(f"bench_eval failed (metric omitted): {e}", file=sys.stderr)
 
     # stretch backbone (BASELINE.json): SegFormer MiT-B5 consistency step
     # with remat, same shapes — proves the transformer flagship is
@@ -286,8 +288,10 @@ def main():
             )
             sf_bs = bs
             break
-        except Exception:  # noqa: BLE001 - OOM fallback / optional metric
-            continue
+        except Exception as e:  # noqa: BLE001 - OOM fallback / optional metric
+            import sys
+
+            print(f"bench_train_step SegFormer_B5 bs={bs} failed: {e}", file=sys.stderr)
 
     print(
         json.dumps(

@@ -209,31 +209,40 @@ class GTAVDataset(BaseDataset):
 
 @DATASET.register("SYNTHIA")
 class SYNTHIADataset(BaseDataset):
-    _use_imageio: bool | None = None  # probe PNG-FI once, not per image
+    # PNG-FI availability, latched only on PLUGIN-level failure (a single
+    # corrupt file must not disable the reference decoder for the whole run)
+    _imageio_plugin_ok: bool | None = None
 
     def read_label(self, path):
         """SYNTHIA labels are 16-bit RGB PNGs with the class id in channel 0
         (reference synthia_dataset.py:16 reads via imageio PNG-FI).  Decode
-        order: native C++ (16-bit path, libdeflate) -> imageio PNG-FI
-        (probed once; the FreeImage backend is often unavailable) -> cv2's
-        16-bit reader (BGR order: channel 0 of RGB == channel 2 of BGR)."""
+        order: native C++ (16-bit path, libdeflate) -> imageio PNG-FI (the
+        reference decoder; the FreeImage plugin is probed once via the first
+        REAL read) -> cv2's 16-bit reader (BGR: channel 0 of RGB == channel
+        2 of BGR)."""
         raw = native_ops.decode_png_file(path)
         if raw is not None and raw.ndim == 3:
             lbl = raw[:, :, 0]
         else:
-            if SYNTHIADataset._use_imageio is None:
+            lbl = None
+            if SYNTHIADataset._imageio_plugin_ok is not False:
                 try:
-                    import imageio.v2 as imageio  # noqa: F401
+                    import imageio.v2 as imageio
 
-                    imageio.imread(path, format="PNG-FI")
-                    SYNTHIADataset._use_imageio = True
-                except Exception:  # noqa: BLE001 - FreeImage plugin missing
-                    SYNTHIADataset._use_imageio = False
-            if SYNTHIADataset._use_imageio:
-                import imageio.v2 as imageio
+                    lbl = np.asarray(imageio.imread(path, format="PNG-FI"))[:, :, 0]
+                    SYNTHIADataset._imageio_plugin_ok = True
+                except ImportError:
+                    SYNTHIADataset._imageio_plugin_ok = False
+                except Exception:  # noqa: BLE001 - plugin missing OR bad file
+                    # only latch when the PLUGIN is absent; a per-file error
+                    # falls through to cv2 for this file alone
+                    try:
+                        import imageio.v2 as imageio
 
-                lbl = np.asarray(imageio.imread(path, format="PNG-FI"))[:, :, 0]
-            else:
+                        imageio.config.known_plugins["PNG-FI"]  # noqa: B018
+                    except Exception:  # noqa: BLE001
+                        SYNTHIADataset._imageio_plugin_ok = False
+            if lbl is None:
                 raw = cv2.imread(path, cv2.IMREAD_UNCHANGED)
                 if raw is None:
                     raise FileNotFoundError(path)

@@ -90,16 +90,14 @@ class BasePseudoGenerator:
         (images, valid [B] float, image_paths) — ``image_paths`` keeps its
         true length, so ``_record_batch``'s zip trims the pad rows out of
         every written artifact; ``valid`` masks them out of the on-device
-        statistics (histograms, class-mean-prob EMA)."""
-        import numpy as np
+        statistics (histograms, class-mean-prob EMA).  Delegates the actual
+        padding to pipeline.pad_batch (the single padding implementation)."""
+        from hiast_tpu.data.pipeline import pad_batch
 
-        images = batch["images"]
-        n = images.shape[0]
-        target = self.cfg.pseudo_policy.batch_size or n
-        if n < target:
-            pad = np.zeros((target - n,) + images.shape[1:], images.dtype)
-            images = np.concatenate([images, pad], axis=0)
-        valid = (np.arange(images.shape[0]) < n).astype(np.float32)
+        target = self.cfg.pseudo_policy.batch_size or batch["images"].shape[0]
+        padded = pad_batch(batch, target)
+        images = padded["images"]
+        valid = (np.arange(images.shape[0]) < padded["n_valid"]).astype(np.float32)
         return images, jnp.asarray(valid), batch["image_paths"]
 
     def _forward(self, images):

@@ -29,7 +29,9 @@
 
 // libdeflate: ~2-3x faster whole-buffer inflate/deflate than zlib; PNG IDAT
 // streams are zlib-wrapped deflate with a known output size, the ideal case.
-#if defined(__has_include)
+// HIAST_USE_LIBDEFLATE comes from the Makefile's runtime-library probe —
+// headers alone (dev package without the runtime lib) must NOT enable it.
+#if defined(HIAST_USE_LIBDEFLATE) && defined(__has_include)
 #if __has_include(<libdeflate.h>)
 #include <libdeflate.h>
 #define HIAST_HAVE_LIBDEFLATE 1
