@@ -44,12 +44,17 @@ def main(argv=None):
             "--pseudo_resume_from", pseudo_ckpt,
             "--pseudo_save_dir", pseudo_dir,
         ])
+        # train.init_from, NOT --resume_from: round k-1's model_last is a
+        # FULL-state Orbax checkpoint (step == total_iter); resuming it would
+        # start round k past its schedule and train zero iterations.  The
+        # cross-round contract is weights-only + a fresh schedule
+        # (reference code/train.sh re-launches train.py per round).
         train.main([
             "--config_file", cfg_file,
             "--setting_file", setting,
-            "--resume_from", student_ckpt,
             "--pseudo_save_dir", pseudo_dir,
             "--work_dir", round_dir,
+            "train.init_from", student_ckpt,
         ])
 
         ckpt_dir = os.path.join(round_dir, "checkpoints")

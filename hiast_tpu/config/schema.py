@@ -129,7 +129,17 @@ def default_config() -> ConfigNode:
                 "lr": 1e-4,  # backbone lr; heads use 10x (DeepLab_V2 convention)
                 "optimizer": "Adam",  # 'SGD', 'Adam', 'AdamW'
                 "weight_decay": 5e-4,
+                # resume_from: FULL-state resume when the path is an Orbax dir
+                # carrying step/opt_state (preemption recovery; a superset of
+                # the reference), weights-only for .pth files.
                 "resume_from": None,
+                # init_from: ALWAYS weights-only (params + batch_stats) — the
+                # reference's cross-round `resume_from` semantics
+                # (code/train.sh hands round k-1's checkpoint to round k,
+                # which trains a FRESH total_iter schedule).  run_rounds uses
+                # this so a completed round's full-state model_last doesn't
+                # resume round k at step == total_iter (zero iterations).
+                "init_from": None,
                 "random_seed": 888,
                 "is_save_all": False,
                 # vestigial in the reference too (default_config.py:114 — set,

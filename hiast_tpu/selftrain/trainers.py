@@ -103,6 +103,12 @@ class BaseTrainer:
         if pretrained:
             variables = load_weights(pretrained, variables)
             self.logger.info(f"initialized from pretrained weights {pretrained}")
+        # weights-only init (the reference's cross-round resume semantics):
+        # params + batch_stats from a .pth OR Orbax dir; step/opt_state/EMA
+        # start fresh so the round trains its full schedule
+        if cfg.train.init_from:
+            variables = load_weights(cfg.train.init_from, variables)
+            self.logger.info(f"initialized weights from {cfg.train.init_from}")
         resume = cfg.train.resume_from
         if resume and not os.path.isdir(resume):  # weights-only (.pth)
             variables = load_weights(resume, variables)

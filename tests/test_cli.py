@@ -126,8 +126,12 @@ def test_micro_round_through_clis(fixture_root, tmp_path):
 
 
 def test_run_rounds_driver(fixture_root, tmp_path):
-    """One full round through the run_rounds driver: pseudo-gen from a seed
-    checkpoint -> consistency train -> next-round checkpoints exist."""
+    """TWO full rounds through the run_rounds driver: pseudo-gen from a seed
+    checkpoint -> consistency train -> next round from round 1's FULL-state
+    model_last.  Round 2 must actually TRAIN (regression: handing model_last
+    to --resume_from restored step == total_iter and round 2 ran zero
+    iterations, saving no checkpoints — the driver hands it to
+    train.init_from, weights-only + fresh schedule, instead)."""
     import numpy as np
     import jax
 
@@ -142,6 +146,7 @@ def test_run_rounds_driver(fixture_root, tmp_path):
     import shutil
 
     shutil.copy(cfg_file, configs_dir / "sl_1.yaml")
+    shutil.copy(cfg_file, configs_dir / "sl_2.yaml")
     shutil.copy(setting_file, configs_dir / "hiast_setting.yaml")
 
     # seed warmup checkpoints (random weights in Orbax layout)
@@ -157,11 +162,24 @@ def test_run_rounds_driver(fixture_root, tmp_path):
         "--warmup_ckpt", str(warm / "warmup"),
         "--warmup_pseudo_ckpt", str(warm / "warmup"),
         "--configs_dir", str(configs_dir),
-        "--rounds", "1",
+        "--rounds", "2",
     ])
-    ckpts = os.listdir(work / "sl_1" / "checkpoints")
-    assert "model_last" in ckpts and "ema_model_last" in ckpts
-    assert len(os.listdir(work / "sl_1" / "pseudo_label" / "gray_label")) == 4
+    for k in (1, 2):
+        ckpts = os.listdir(work / f"sl_{k}" / "checkpoints")
+        assert "model_last" in ckpts and "ema_model_last" in ckpts, f"round {k}"
+        assert len(os.listdir(work / f"sl_{k}" / "pseudo_label" / "gray_label")) == 4
+
+    # round 2 trained its OWN schedule on round 1's weights: step counted
+    # from zero again, and the params moved between the two rounds
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        last1 = ckptr.restore(str(work / "sl_1" / "checkpoints" / "model_last"))
+        last2 = ckptr.restore(str(work / "sl_2" / "checkpoints" / "model_last"))
+    assert int(np.asarray(last2["step"])) == cfg.train.total_iter
+    k1 = last1["params"]["backbone"]["conv1"]["kernel"]
+    k2 = last2["params"]["backbone"]["conv1"]["kernel"]
+    assert np.abs(np.asarray(k1) - np.asarray(k2)).max() > 0
 
 
 def test_validate_cli(fixture_root, tmp_path, capsys):
