@@ -68,6 +68,11 @@ def make_val_step(segmentor, resize_size, num_classes: int):
 
 def make_ms_flip_step(segmentor, resize_sizes, is_flip: bool, num_classes: int):
     """Standalone validator step: multi-scale + flip softmax fusion."""
+    if not resize_sizes:
+        raise ValueError(
+            "make_ms_flip_step needs at least one eval size; set "
+            "validate.resize_sizes (multi-scale) or dataset.val.resize_size"
+        )
 
     @jax.jit
     def step(params, batch_stats, img_uint8, lbl):
@@ -152,9 +157,16 @@ class Validator:
         self.cfg = cfg
         self.segmentor = segmentor
         self.variables = variables
+        # validate.resize_sizes is the multi-scale protocol (reference
+        # validate.yaml always sets it); an empty list falls back to the
+        # single dataset.val.resize_size so a train-style config evaluates
+        # instead of tracing argmax(None)
+        sizes = [tuple(s) for s in cfg.validate.resize_sizes]
+        if not sizes and cfg.dataset.val.resize_size:
+            sizes = [tuple(cfg.dataset.val.resize_size)]
         self.step = make_ms_flip_step(
             segmentor,
-            [tuple(s) for s in cfg.validate.resize_sizes],
+            sizes,
             cfg.validate.is_flip,
             cfg.dataset.num_classes,
         )

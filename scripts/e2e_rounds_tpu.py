@@ -1,0 +1,305 @@
+"""End-to-end HIAST domain-adaptation experiment on synthetic domains.
+
+The strongest pipeline-level learning evidence this data-less environment
+allows: build a source domain and a COLOR-SHIFTED target domain (channel
+mixing + per-channel gamma + heavier sensor noise — the GTA5->Cityscapes
+analog for palette-keyed synthetic scenes), then run the REAL production
+surfaces end to end on the default (TPU) platform:
+
+    1. source-only warmup           (cli/train.py, SourceOnlyTrainer)
+    2. 2 HIAST self-training rounds (cli/run_rounds.py: IAS pseudo-labels
+       from the EMA teacher -> consistency training with CopyPaste HPA,
+       SoftCE on ignored regions, EMA in-step)
+    3. evaluation per checkpoint    (cli/validate.py, returns mIoU)
+
+and report the target-mIoU trajectory: warmup (domain gap visible vs the
+source-val score) -> round 1 -> round 2.  Self-training never sees a
+target label; the target val split is used for measurement only.
+
+The strong view is the weak view (no CCA): the synthetic task keys classes
+to palette COLORS, so a color-destroying augmentation makes the student's
+view unlearnable by construction — a fixture property, not a framework one
+(see tests/test_trainers.py::TestConsistencyTrainer for the same note).
+CopyPaste HPA stays on (it moves regions, preserving colors).
+
+Reference analog: code/train.sh (the published 3-round recipe); results
+recorded in PERF.md.
+
+Run:  python scripts/e2e_rounds_tpu.py [--smoke] [--root DIR]
+      (one TPU process at a time; ~15-25 min full, ~8 min smoke)
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# sensor/illumination change: RGB channel bleed + per-channel gamma.  The
+# linear part alone would be absorbed by the stem BN's global per-channel
+# statistics; the gamma + mixing interaction is what opens a real gap.
+MIX = np.array(
+    [[0.80, 0.15, 0.05], [0.10, 0.80, 0.10], [0.05, 0.20, 0.75]], np.float32
+)
+GAMMA = np.array([1.35, 0.75, 1.15], np.float32)
+
+
+def shift_domain(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    x = img.astype(np.float32) / 255.0
+    x = np.clip(x @ MIX.T, 0.0, 1.0) ** GAMMA
+    x = x * 255.0 + rng.normal(0.0, 12.0, img.shape)
+    return np.clip(x, 0, 255).astype(np.uint8)
+
+
+def write_domains(root: str, h: int, w: int, n_src: int, n_src_val: int,
+                  n_tgt: int, n_tgt_val: int) -> None:
+    """Source + target PNGs and manifests under <root>/{gtav,city}."""
+    from PIL import Image
+
+    from hiast_tpu.data.synthetic import SyntheticSegDataset
+
+    # one palette = one task; distinct scene streams per split
+    src = SyntheticSegDataset(n=n_src + n_src_val, h=h, w=w, seed=11, cache=False)
+    tgt = SyntheticSegDataset(n=n_tgt + n_tgt_val, h=h, w=w, seed=23, cache=False)
+    tgt.palette = src.palette
+    rng = np.random.default_rng(77)
+
+    for name, ds, n_train, shifted in (
+        ("gtav", src, n_src, False),
+        ("city", tgt, n_tgt, True),
+    ):
+        img_dir = os.path.join(root, name, "images")
+        os.makedirs(img_dir)
+        train_m, val_m = [], []
+        for i in range(len(ds)):
+            img, lbl, _ = ds.load_data(i)
+            if shifted:
+                img = shift_domain(img, rng)
+            Image.fromarray(img).save(f"{img_dir}/{name}_{i}.png")
+            Image.fromarray(lbl, mode="L").save(f"{img_dir}/{name}_{i}_lbl.png")
+            entry = {
+                "image_name": f"images/{name}_{i}.png",
+                "mask_name": f"images/{name}_{i}_lbl.png",
+            }
+            (train_m if i < n_train else val_m).append(entry)
+        with open(os.path.join(root, f"{name}_train.json"), "w") as f:
+            json.dump(train_m, f)
+        with open(os.path.join(root, f"{name}_val.json"), "w") as f:
+            json.dump(val_m, f)
+
+
+def write_configs(root: str, crop, resize, warmup_iters, round_iters,
+                  batch, aug: str = "MS") -> str:
+    ch, cw = crop
+    rh, rw = resize
+    def common(model_type: str) -> str:
+        return f"""
+model:
+  type: '{model_type}'
+  seg_model:
+    backbone_layers: [1, 1, 1, 1]
+dataset:
+  num_classes: 19
+  crop_size: [{ch}, {cw}]
+  target:
+    type: 'Cityscapes'
+    json_path: '{root}/city_train.json'
+    image_dir: '{root}/city'
+    aug_type: [ '{aug}' ]
+  val:
+    type: 'Cityscapes'
+    json_path: '{root}/city_val.json'
+    image_dir: '{root}/city'
+    resize_size: [ {rh}, {rw} ]
+validate:
+  batch_size: 4
+"""
+    warmup = f"""
+trainer: 'SourceOnlyTrainer'
+{common('SourceOnlySegmentor')}
+train:
+  batch_size: {batch}
+  lr: 2e-4
+  total_iter: {warmup_iters}
+  iter_report: {max(warmup_iters // 4, 1)}
+  iter_val: {max(warmup_iters // 3, 1)}
+"""
+    # the warmup config ALSO carries the source block
+    warmup = warmup.replace(
+        "dataset:\n  num_classes: 19",
+        f"""dataset:
+  num_classes: 19
+  source:
+    type: 'Cityscapes'
+    json_path: '{root}/gtav_train.json'
+    image_dir: '{root}/gtav'
+    aug_type: [ '{aug}' ]""",
+    )
+
+    def round_cfg(lr: str) -> str:
+        return f"""
+trainer: 'SelfTrainingTrainer'
+{common('SelfTrainingSegmentor')}
+pseudo_policy:
+  batch_size: 4
+  resize_size: [ {rh}, {rw} ]
+  type: 'IAS'
+  ias:
+    alpha: 0.5
+    beta: 0.9
+    gamma: 8.0
+train:
+  batch_size: {batch}
+  lr: {lr}
+  total_iter: {round_iters}
+  iter_report: {max(round_iters // 4, 1)}
+  iter_val: {max(round_iters // 2, 1)}
+"""
+
+    setting = """
+trainer: 'ConsistencySelfTrainingTrainer'
+cst_training:
+  is_enabled: True
+  ema_model:
+    gamma: 0.99
+  cst_loss:
+    type: 'SoftCE'
+    weight: 0.5
+    region: 'ignored'
+preprocessor:
+  type: 'CopyPaste'
+  copy_paste:
+    selected_num_classes: 4
+"""
+    validate = f"""
+model:
+  type: 'SelfTrainingSegmentor'
+  seg_model:
+    backbone_layers: [1, 1, 1, 1]
+dataset:
+  num_classes: 19
+  val:
+    type: 'Cityscapes'
+    json_path: '{root}/city_val.json'
+    image_dir: '{root}/city'
+    resize_size: [ {rh}, {rw} ]
+validate:
+  batch_size: 4
+"""
+    cfgs = os.path.join(root, "configs")
+    os.makedirs(cfgs)
+    with open(f"{cfgs}/warmup.yaml", "w") as f:
+        f.write(warmup)
+    with open(f"{cfgs}/sl_1.yaml", "w") as f:
+        f.write(round_cfg("1e-4"))
+    with open(f"{cfgs}/sl_2.yaml", "w") as f:
+        f.write(round_cfg("5e-5"))
+    with open(f"{cfgs}/hiast_setting.yaml", "w") as f:
+        f.write(setting)
+    with open(f"{cfgs}/validate_src.yaml", "w") as f:
+        f.write(validate.replace("city_val.json", "gtav_val.json").replace(
+            f"image_dir: '{root}/city'", f"image_dir: '{root}/gtav'"))
+    with open(f"{cfgs}/validate_tgt.yaml", "w") as f:
+        f.write(validate)
+    return cfgs
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--root", default="/tmp/hiast_e2e")
+    p.add_argument("--smoke", action="store_true",
+                   help="tiny shapes/iters: script mechanics only")
+    args = p.parse_args()
+
+    if args.smoke:
+        h, w, crop, batch = 128, 256, (64, 128), 8
+        n_src, n_src_val, n_tgt, n_tgt_val = 12, 4, 10, 4
+        warmup_iters, round_iters = 8, 6
+        aug = "MS"  # exercise the full geometric-aug path
+    else:
+        # images at the train size + a same-size PRS resize: this box has
+        # ONE host core, and the MS aug's 341-1000px upscales would make
+        # the experiment host-bound (measured ~5 s/iter in smoke); the
+        # MS path is exercised by smoke mode and the CPU test suite
+        h, w, crop, batch = 128, 256, (128, 256), 8
+        n_src, n_src_val, n_tgt, n_tgt_val = 48, 8, 32, 12
+        warmup_iters, round_iters = 600, 400
+        aug = f"PRS-{h}-{w}"
+
+    shutil.rmtree(args.root, ignore_errors=True)
+    os.makedirs(args.root)
+
+    from hiast_tpu.runtime_init import init_runtime
+
+    init_runtime()
+    import jax
+
+    platform = jax.devices()[0].platform
+    print(f"## e2e rounds on platform={platform}", flush=True)
+
+    write_domains(args.root, h, w, n_src, n_src_val, n_tgt, n_tgt_val)
+    cfgs = write_configs(args.root, crop, (h, w), warmup_iters, round_iters, batch, aug)
+
+    from hiast_tpu.cli import run_rounds, train, validate
+
+    times: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        times[name] = round(time.time() - t0, 1)
+        print(f"## phase {name}: {times[name]}s", flush=True)
+        return out
+
+    work = os.path.join(args.root, "log")
+    warmup_dir = os.path.join(work, "warmup")
+    timed("warmup_train", lambda: train.main([
+        "--config_file", f"{cfgs}/warmup.yaml", "--work_dir", warmup_dir,
+    ]))
+    warmup_ckpt = os.path.join(warmup_dir, "checkpoints", "model_last")
+
+    timed("rounds", lambda: run_rounds.main([
+        "--work_dir", work,
+        "--warmup_ckpt", warmup_ckpt,
+        "--warmup_pseudo_ckpt", warmup_ckpt,
+        "--configs_dir", cfgs,
+        "--rounds", "2",
+    ]))
+
+    def miou(cfg_name: str, ckpt: str) -> float:
+        r = validate.main([
+            "--config_file", f"{cfgs}/{cfg_name}", "--validate_resume_from", ckpt,
+        ])
+        return round(float(r["miou"]), 4)
+
+    results = {
+        "warmup_src": timed("val_warmup_src", lambda: miou("validate_src.yaml", warmup_ckpt)),
+        "warmup_tgt": timed("val_warmup_tgt", lambda: miou("validate_tgt.yaml", warmup_ckpt)),
+    }
+    for k in (1, 2):
+        ck = os.path.join(work, f"sl_{k}", "checkpoints")
+        results[f"round{k}_tgt"] = timed(
+            f"val_round{k}", lambda ck=ck: miou("validate_tgt.yaml", f"{ck}/model_last"))
+        results[f"round{k}_tgt_ema"] = timed(
+            f"val_round{k}_ema", lambda ck=ck: miou("validate_tgt.yaml", f"{ck}/ema_model_last"))
+
+    summary = {"platform": platform, "smoke": args.smoke, "results": results,
+               "times_s": times}
+    print("E2E_RESULT " + json.dumps(summary), flush=True)
+    if not args.smoke:
+        final = max(results["round2_tgt"], results["round2_tgt_ema"])
+        assert final > results["warmup_tgt"], (
+            f"self-training did not improve target mIoU: {results}"
+        )
+        print("## PASS: HIAST rounds improved target mIoU "
+              f"{results['warmup_tgt']:.4f} -> {final:.4f}")
+
+
+if __name__ == "__main__":
+    main()

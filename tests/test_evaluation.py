@@ -97,6 +97,27 @@ class TestValidatorExport:
         img9 = colorize_mask(np.arange(9, dtype=np.uint8).reshape(1, 9), 9)
         assert img19.mode == "P" and img9.mode == "P"
 
+    def test_empty_resize_sizes_falls_back_to_val_size(self):
+        """A train-style config (no validate.resize_sizes) evaluates at
+        dataset.val.resize_size instead of tracing argmax(None); with
+        neither set, the error names the keys."""
+        cfg, seg, variables = tiny_segmentor()
+        cfg.dataset.val.resize_size = [16, 32]
+        validator = Validator(cfg, seg, variables)
+
+        def data_iter():
+            yield {
+                "images": RNG.integers(0, 255, size=(1, 32, 64, 3)).astype(np.uint8),
+                "labels": RNG.integers(0, 19, size=(1, 32, 64)).astype(np.uint8),
+                "image_paths": ["a.png"],
+            }
+
+        assert 0.0 <= validator.run(data_iter())["miou"] <= 1.0
+
+        cfg2, seg2, variables2 = tiny_segmentor()
+        with pytest.raises(ValueError, match="resize_size"):
+            Validator(cfg2, seg2, variables2)
+
 
 class TestRecorder:
     def test_synthia_rescaling_and_best(self):
