@@ -7,9 +7,10 @@ analog for palette-keyed synthetic scenes), then run the REAL production
 surfaces end to end on the default (TPU) platform:
 
     1. source-only warmup           (cli/train.py, SourceOnlyTrainer)
-    2. 2 HIAST self-training rounds (cli/run_rounds.py: IAS pseudo-labels
-       from the EMA teacher -> consistency training with CopyPaste HPA,
-       SoftCE on ignored regions, EMA in-step)
+    2. N HIAST self-training rounds (default 3, the published recipe's
+       count; cli/run_rounds.py: IAS pseudo-labels from the EMA teacher ->
+       consistency training with CopyPaste HPA, SoftCE on ignored regions,
+       EMA in-step)
     3. evaluation per checkpoint    (cli/validate.py, returns mIoU)
 
 and report the target-mIoU trajectory: warmup (domain gap visible vs the
@@ -95,7 +96,7 @@ def write_domains(root: str, h: int, w: int, n_src: int, n_src_val: int,
 
 
 def write_configs(root: str, crop, resize, warmup_iters, round_iters,
-                  batch, aug: str = "MS") -> str:
+                  batch, aug: str = "MS", rounds: int = 2) -> str:
     ch, cw = crop
     rh, rw = resize
     def common(model_type: str) -> str:
@@ -196,10 +197,10 @@ validate:
     os.makedirs(cfgs)
     with open(f"{cfgs}/warmup.yaml", "w") as f:
         f.write(warmup)
-    with open(f"{cfgs}/sl_1.yaml", "w") as f:
-        f.write(round_cfg("1e-4"))
-    with open(f"{cfgs}/sl_2.yaml", "w") as f:
-        f.write(round_cfg("5e-5"))
+    # halving per-round lrs (the published recipe's 3e-6/2e-6/1e-6 shape)
+    for k in range(1, rounds + 1):
+        with open(f"{cfgs}/sl_{k}.yaml", "w") as f:
+            f.write(round_cfg(f"{1e-4 / (2 ** (k - 1)):.2e}"))
     with open(f"{cfgs}/hiast_setting.yaml", "w") as f:
         f.write(setting)
     with open(f"{cfgs}/validate_src.yaml", "w") as f:
@@ -213,6 +214,8 @@ validate:
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--root", default="/tmp/hiast_e2e")
+    p.add_argument("--rounds", type=int, default=3,
+                   help="self-training rounds (the published recipe runs 3)")
     p.add_argument("--smoke", action="store_true",
                    help="tiny shapes/iters: script mechanics only")
     args = p.parse_args()
@@ -244,7 +247,9 @@ def main() -> None:
     print(f"## e2e rounds on platform={platform}", flush=True)
 
     write_domains(args.root, h, w, n_src, n_src_val, n_tgt, n_tgt_val)
-    cfgs = write_configs(args.root, crop, (h, w), warmup_iters, round_iters, batch, aug)
+    rounds = 2 if args.smoke else args.rounds
+    cfgs = write_configs(args.root, crop, (h, w), warmup_iters, round_iters,
+                         batch, aug, rounds)
 
     from hiast_tpu.cli import run_rounds, train, validate
 
@@ -269,7 +274,7 @@ def main() -> None:
         "--warmup_ckpt", warmup_ckpt,
         "--warmup_pseudo_ckpt", warmup_ckpt,
         "--configs_dir", cfgs,
-        "--rounds", "2",
+        "--rounds", str(rounds),
     ]))
 
     def miou(cfg_name: str, ckpt: str) -> float:
@@ -282,7 +287,7 @@ def main() -> None:
         "warmup_src": timed("val_warmup_src", lambda: miou("validate_src.yaml", warmup_ckpt)),
         "warmup_tgt": timed("val_warmup_tgt", lambda: miou("validate_tgt.yaml", warmup_ckpt)),
     }
-    for k in (1, 2):
+    for k in range(1, rounds + 1):
         ck = os.path.join(work, f"sl_{k}", "checkpoints")
         results[f"round{k}_tgt"] = timed(
             f"val_round{k}", lambda ck=ck: miou("validate_tgt.yaml", f"{ck}/model_last"))
@@ -293,7 +298,7 @@ def main() -> None:
                "times_s": times}
     print("E2E_RESULT " + json.dumps(summary), flush=True)
     if not args.smoke:
-        final = max(results["round2_tgt"], results["round2_tgt_ema"])
+        final = max(results[f"round{rounds}_tgt"], results[f"round{rounds}_tgt_ema"])
         assert final > results["warmup_tgt"], (
             f"self-training did not improve target mIoU: {results}"
         )
