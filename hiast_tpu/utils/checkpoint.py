@@ -114,7 +114,12 @@ def merge_intersecting(target: Any, source: Any, *, origin: str = "checkpoint") 
         s_arr = np.asarray(s)
         if tuple(np.shape(t)) == tuple(s_arr.shape):
             matched.append(path)
-            return s_arr.astype(np.asarray(t).dtype)
+            # dtype/shape are metadata: never np.asarray(t) here — the target
+            # leaves may live on device, and fetching each one D2H makes every
+            # checkpoint load scale with the transfer link (minutes through a
+            # slow tunnel), for values we throw away.
+            t_dtype = getattr(t, "dtype", None)
+            return s_arr.astype(t_dtype if t_dtype is not None else np.asarray(t).dtype)
         skipped.append((path, tuple(s_arr.shape), tuple(np.shape(t))))
         return t
 
