@@ -235,11 +235,14 @@ class SYNTHIADataset(BaseDataset):
                     SYNTHIADataset._imageio_plugin_ok = False
                 except Exception:  # noqa: BLE001 - plugin missing OR bad file
                     # only latch when the PLUGIN is absent; a per-file error
-                    # falls through to cv2 for this file alone
+                    # falls through to cv2 for this file alone.  The plugin
+                    # table lives on the TOP-LEVEL package (imageio.v2 is an
+                    # API shim without .config).
                     try:
-                        import imageio.v2 as imageio
+                        import imageio as _iio
 
-                        imageio.config.known_plugins["PNG-FI"]  # noqa: B018
+                        if "PNG-FI" not in _iio.config.known_plugins:
+                            SYNTHIADataset._imageio_plugin_ok = False
                     except Exception:  # noqa: BLE001
                         SYNTHIADataset._imageio_plugin_ok = False
             if lbl is None:
@@ -299,7 +302,7 @@ class OxfordDataset(BaseDataset):
         if not path.endswith(".png"):  # unlabeled train split
             return None
         lbl = native_ops.decode_png_file(path)
-        if lbl is None:
+        if lbl is None or lbl.dtype != np.uint8:  # 16-bit PNG: let PIL decide
             lbl = np.asarray(Image.open(path), np.uint8)
         if lbl.ndim == 3:
             lbl = lbl[:, :, 0]

@@ -35,14 +35,9 @@ def timeit(fn, iters=10, windows=3):
 
 
 def flops_of(jitted, *args):
-    try:
-        ca = jitted.lower(*args).compile().cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        f = float(ca.get("flops", float("nan")))
-        return f if np.isfinite(f) and f > 0 else None
-    except Exception:  # noqa: BLE001 - diagnostics only
-        return None
+    from bench import _compiled_flops  # ONE copy of the cost-analysis idiom
+
+    return _compiled_flops(jitted, *args)
 
 
 def measure(report, tag, jitted, run, *flop_args):
