@@ -10,11 +10,13 @@ four host-side sweeps (reference: code/workflows/pseudo_label_generator.py:
     per class: selected-pixel counts and confidence sums (VMEM accumulators)
 
 ``fused_hist`` is the companion pass for the IAS threshold update: per-class
-confidence HISTOGRAM over the stats grid, built as a sequence of one-hot
-MATMULS ([C, T] @ [T, bin-chunk] on the MXU) instead of the XLA per-pixel
-scatter (measured ~9 ms on the OS8 grid; scatters serialize on TPU).  The
-[C, num_bins] accumulator lives in VMEM across grid steps; bins are chunked
-so the [T, chunk] one-hot stays a ~2 MB VMEM tile.
+confidence HISTOGRAM over the stats grid, built as ONE hi/lo-factorized
+one-hot matmul per tile ([HIST_HI, T] @ [T, C*lo_n] on the MXU, bin =
+hi*lo_n + lo) instead of the XLA per-pixel scatter (scatters serialize on
+TPU).  The joint accumulator lives in VMEM across grid steps; both one-hots
+are built in VMEM, so the only HBM traffic is the logits read.  The 128-row
+hi axis keeps the MXU fully utilized (a direct [C=19, bins] formulation
+idles 109/128 rows).
 
 Layout: pixels are flattened to [N, C]; the wrapper pads N up to the tile
 size and C is lane-padded by Mosaic.  Rows beyond ``nvalid`` (tile padding
@@ -33,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 IGNORE = 255
 TILE = 2048
-BIN_CHUNK = 256
+HIST_HI = 128  # joint-histogram matmul rows = one full MXU tile
 
 
 def _argmax_f32(x, t, c):
@@ -166,9 +168,14 @@ def fused_select_batched(
 # ---------------------------------------------------------------------------
 # fused confidence histogram (the IAS stats pass)
 # ---------------------------------------------------------------------------
-def _hist_kernel(nvalid_ref, logits_ref, maxprob_ref, pred_ref, hist_ref, num_bins: int):
+def _hist_kernel(nvalid_ref, logits_ref, *refs, num_bins: int, with_pixels: bool):
+    if with_pixels:
+        maxprob_ref, pred_ref, joint_ref = refs
+    else:  # hist-only: don't burn HBM writes on outputs nobody reads
+        (joint_ref,) = refs
     i = pl.program_id(0)
     t, c = logits_ref.shape
+    lo_n = num_bins // HIST_HI
 
     x = logits_ref[:].astype(jnp.float32)  # [T, C]
     pred_f, m = _argmax_f32(x, t, c)  # [T] f32
@@ -176,65 +183,70 @@ def _hist_kernel(nvalid_ref, logits_ref, maxprob_ref, pred_ref, hist_ref, num_bi
     denom = jnp.sum(e, axis=1, keepdims=True)
     maxprob = (1.0 / denom)[:, 0]  # [T]
 
-    maxprob_ref[:] = maxprob
-    pred_ref[:] = pred_f  # f32; cast in XLA
+    if with_pixels:
+        maxprob_ref[:] = maxprob
+        pred_ref[:] = pred_f  # f32; cast in XLA
 
     row = jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)[:, 0] + i * t
     valid = (row < nvalid_ref[0]).astype(jnp.float32)  # [T]
 
-    class_ids_f = jax.lax.broadcasted_iota(jnp.int32, (t, c), 1).astype(jnp.float32)
-    onehot_c = (class_ids_f == pred_f[:, None]).astype(jnp.float32) * valid[:, None]
-
-    # float-domain binning: Mosaic cannot legalize f32->i32 vector casts (and
-    # lowers floor through one), so bin membership is a RANGE COMPARE —
-    # pixel x lands in bin j iff scaled in [j, j+1), last bin catching
-    # scaled == num_bins (maxprob == 1.0); identical to the XLA path's
-    # clip(int(maxprob*nb), 0, nb-1)
-    scaled = maxprob * num_bins  # [T], in [0, num_bins]
+    # hi/lo factorized joint histogram: bin = hi * lo_n + lo; ONE
+    # [HIST_HI, T] @ [T, C*lo_n] one-hot matmul per tile accumulates the
+    # VMEM-resident joint — full 128-row MXU utilization (the previous
+    # [C=19, bin-chunk] formulation idled 109/128 MXU rows).
+    #
+    # All binning stays in the FLOAT domain via range compares: Mosaic
+    # cannot legalize f32->i32 vector casts (floor lowers through one).
+    # ``s = min(maxprob*nb, nb - 0.5)`` reproduces XLA's
+    # clip(int(maxprob*nb), 0, nb-1) incl. the maxprob == 1.0 edge.
+    s = jnp.minimum(maxprob * num_bins, num_bins - 0.5)  # [T] in [0, nb)
+    f = s / lo_n  # [T] in [0, HIST_HI)
+    hi_ids_f = jax.lax.broadcasted_iota(jnp.int32, (t, HIST_HI), 1).astype(jnp.float32)
+    onehot_hi = (
+        (f[:, None] >= hi_ids_f) & (f[:, None] < hi_ids_f + 1.0)
+    ).astype(jnp.float32)  # [T, HI]
+    hi_f = jnp.sum(onehot_hi * hi_ids_f, axis=1)  # exact floor(s/lo_n)
+    clo = pred_f * lo_n + (s - hi_f * lo_n)  # [T] in [0, C*lo_n)
+    clo_ids_f = jax.lax.broadcasted_iota(jnp.int32, (t, c * lo_n), 1).astype(jnp.float32)
+    onehot_clo = (
+        (clo[:, None] >= clo_ids_f) & (clo[:, None] < clo_ids_f + 1.0)
+    ).astype(jnp.float32) * valid[:, None]  # [T, C*lo_n]
 
     @pl.when(i == 0)
     def _init():
-        hist_ref[:] = jnp.zeros_like(hist_ref)
+        joint_ref[:] = jnp.zeros_like(joint_ref)
 
-    # [C, T] @ [T, chunk] one-hot matmuls accumulate into the VMEM-resident
-    # [C, num_bins] histogram — MXU work instead of a per-pixel scatter
-    for k in range(num_bins // BIN_CHUNK):
-        # int iota -> f32 (Mosaic: iota must be integer; sitofp legalizes)
-        bin_ids = (
-            jax.lax.broadcasted_iota(jnp.int32, (t, BIN_CHUNK), 1).astype(jnp.float32)
-            + float(k * BIN_CHUNK)
-        )
-        upper = jnp.where(bin_ids >= float(num_bins - 1), jnp.inf, bin_ids + 1.0)
-        s = scaled[:, None]
-        onehot_b = ((s >= bin_ids) & (s < upper)).astype(jnp.float32)  # [T, chunk]
-        chunk = jax.lax.dot_general(
-            onehot_c, onehot_b,
-            (((0,), (0,)), ((), ())),  # contract over T -> [C, chunk]
-            preferred_element_type=jnp.float32,
-        )
-        sl = pl.dslice(k * BIN_CHUNK, BIN_CHUNK)
-        hist_ref[:, sl] += chunk
+    joint_ref[:] += jax.lax.dot_general(
+        onehot_hi.astype(jnp.bfloat16), onehot_clo.astype(jnp.bfloat16),
+        (((0,), (0,)), ((), ())),  # contract over T -> [HI, C*lo_n]
+        preferred_element_type=jnp.float32,
+    )
 
 
-@functools.partial(jax.jit, static_argnames=("num_bins", "interpret"))
+@functools.partial(jax.jit, static_argnames=("num_bins", "interpret", "with_pixels"))
 def fused_hist(
     logits: jnp.ndarray,
     nvalid: jnp.ndarray | None = None,
     num_bins: int = 2048,
     interpret: bool | None = None,
+    with_pixels: bool = True,
 ):
     """Per-class max-softmax-confidence histogram over [..., C] logits.
 
     Returns (maxprob [...], pred [...], hist [C, num_bins]) — the inputs of
     ``policies.ias_update``/``cbst_thresholds``, with the confidences reusable
     by a downstream selection.  ``num_bins`` must be a multiple of 256 (or a
-    power of two below it).
+    power of two below it).  ``with_pixels=False`` returns (None, None, hist)
+    and skips the two full-size per-pixel outputs entirely — pallas outputs
+    are never DCE'd by XLA, and at batch 8 x 768x1536 they cost ~75 MB of
+    HBM writes per batch that the stats-only caller discards.
     """
     if interpret is None:  # Mosaic has no CPU backend; tests interpret
         interpret = jax.default_backend() == "cpu"
     *batch_shape, c = logits.shape
-    assert num_bins % BIN_CHUNK == 0 or BIN_CHUNK % num_bins == 0, num_bins
-    eff_bins = max(num_bins, BIN_CHUNK)  # tiny-bin configs pad the lane dim
+    assert num_bins % HIST_HI == 0 or HIST_HI % num_bins == 0, num_bins
+    eff_bins = max(num_bins, HIST_HI)  # tiny-bin configs compute finer + fold
+    lo_n = eff_bins // HIST_HI
     n = 1
     for s in batch_shape:
         n *= s
@@ -247,8 +259,16 @@ def fused_hist(
         jnp.minimum(jnp.asarray(nvalid, jnp.int32), n).reshape(1)
     )
 
-    kernel = functools.partial(_hist_kernel, num_bins=eff_bins)
-    maxprob, pred, hist = pl.pallas_call(
+    kernel = functools.partial(_hist_kernel, num_bins=eff_bins, with_pixels=with_pixels)
+    pixel_specs = [
+        pl.BlockSpec((TILE,), lambda i, *_: (i,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE,), lambda i, *_: (i,), memory_space=pltpu.VMEM),
+    ] if with_pixels else []
+    pixel_shapes = [
+        jax.ShapeDtypeStruct((n_pad,), jnp.float32),
+        jax.ShapeDtypeStruct((n_pad,), jnp.float32),
+    ] if with_pixels else []
+    outs = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -256,23 +276,25 @@ def fused_hist(
             in_specs=[
                 pl.BlockSpec((TILE, c), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
             ],
-            out_specs=[
-                pl.BlockSpec((TILE,), lambda i, *_: (i,), memory_space=pltpu.VMEM),
-                pl.BlockSpec((TILE,), lambda i, *_: (i,), memory_space=pltpu.VMEM),
-                pl.BlockSpec((c, eff_bins), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            out_specs=pixel_specs + [
+                pl.BlockSpec((HIST_HI, c * lo_n), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
             ],
         ),
-        out_shape=[
-            jax.ShapeDtypeStruct((n_pad,), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad,), jnp.float32),
-            jax.ShapeDtypeStruct((c, eff_bins), jnp.float32),
+        out_shape=pixel_shapes + [
+            jax.ShapeDtypeStruct((HIST_HI, c * lo_n), jnp.float32),
         ],
         interpret=interpret,
     )(nvalid, flat)
 
-    maxprob = maxprob[:n].reshape(batch_shape)
-    pred = pred[:n].reshape(batch_shape).astype(jnp.int32)
+    # joint[h, cls*lo_n + l] -> hist[cls, h*lo_n + l]
+    hist = (
+        outs[-1].reshape(HIST_HI, c, lo_n).transpose(1, 0, 2).reshape(c, eff_bins)
+    )
     if eff_bins != num_bins:
         # bins were computed at eff_bins resolution; fold down exactly
         hist = hist.reshape(c, num_bins, eff_bins // num_bins).sum(-1)
+    if not with_pixels:
+        return None, None, hist
+    maxprob = outs[0][:n].reshape(batch_shape)
+    pred = outs[1][:n].reshape(batch_shape).astype(jnp.int32)
     return maxprob, pred, hist

@@ -287,7 +287,8 @@ class IASGenerator(BasePseudoGenerator):
             for s in logits_stats.shape[1:-1]:
                 per_sample_stats *= s
             _, _, hist = fused_hist(
-                logits_stats, n_samples * per_sample_stats, num_bins=self.num_bins
+                logits_stats, n_samples * per_sample_stats, num_bins=self.num_bins,
+                with_pixels=False,
             )
             new_thr = P.ias_update(state, hist, ias.alpha, ias.beta, ias.gamma)
             per_sample_full = 1

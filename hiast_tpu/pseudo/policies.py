@@ -23,6 +23,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 IGNORE = 255
 
@@ -52,17 +53,99 @@ def class_prob_histogram(
     num_classes: int,
     num_bins: int,
     weights: jnp.ndarray | None = None,
+    method: str = "auto",
 ) -> jnp.ndarray:
     """[C, num_bins] histogram of max-probabilities grouped by predicted class.
 
     ``weights`` (same shape as ``pred``) scales each pixel's contribution —
     used to exclude pad samples of a partial batch (weight 0).
+
+    Two bit-exact implementations (equality pinned by tests/test_pseudo.py):
+
+    - ``scatter``: one scatter-add over the flattened (class, bin) keys.
+      Scatters serialize per-pixel on TPU — fine on the OS8 stats grid
+      (~150k pixels), ~60 ms at full resolution (9.4M pixels, measured).
+    - ``matmul``: the classic TPU histogram factorization. ``bin`` splits
+      into ``hi * lo_n + lo`` so the whole histogram is ONE contraction
+      ``onehot_hi[N, hi_n] x onehot_(class,lo)[N, C*lo_n] -> [hi_n, C*lo_n]``
+      over pixel chunks — MXU work with full 128-row utilization instead of
+      a scatter.  One-hots are exact in bf16 and the f32 accumulation is
+      exact below 2^24 pixels per cell, so counts are identical.
+
+    ``auto`` picks matmul for large pixel counts when the bin count allows
+    the 128-way split.
     """
+    n = int(np.prod(pred.shape))
+    if method == "auto":
+        method = (
+            "matmul" if n >= (1 << 20) and num_bins % _HIST_HI == 0 else "scatter"
+        )
+    if method == "matmul":
+        return _class_prob_histogram_matmul(
+            maxprob, pred, num_classes, num_bins, weights
+        )
     bins = jnp.clip((maxprob * num_bins).astype(jnp.int32), 0, num_bins - 1)
     flat = pred.reshape(-1) * num_bins + bins.reshape(-1)
     w = jnp.ones(flat.shape, jnp.float32) if weights is None else weights.reshape(-1).astype(jnp.float32)
     hist = jnp.zeros((num_classes * num_bins,), jnp.float32).at[flat].add(w)
     return hist.reshape(num_classes, num_bins)
+
+
+_HIST_HI = 128  # rows of the joint-histogram matmul = one full MXU tile
+_HIST_CHUNK = 1 << 20  # pixels per scan step: bounds the one-hot HBM footprint
+
+
+def _class_prob_histogram_matmul(
+    maxprob: jnp.ndarray,
+    pred: jnp.ndarray,
+    num_classes: int,
+    num_bins: int,
+    weights: jnp.ndarray | None,
+) -> jnp.ndarray:
+    lo_n = num_bins // _HIST_HI
+    s = jnp.clip((maxprob.reshape(-1) * num_bins).astype(jnp.int32), 0, num_bins - 1)
+    hi = s // lo_n  # [N] in [0, hi_n)
+    clo = pred.reshape(-1) * lo_n + s % lo_n  # [N] in [0, C*lo_n)
+    w = (
+        jnp.ones(s.shape, jnp.bfloat16)
+        if weights is None
+        else weights.reshape(-1).astype(jnp.bfloat16)
+    )
+    n = s.shape[0]
+    n_pad = -(-n // _HIST_CHUNK) * _HIST_CHUNK
+    if n_pad != n:  # pad rows carry weight 0 -> contribute nothing
+        pad = (0, n_pad - n)
+        hi, clo, w = jnp.pad(hi, pad), jnp.pad(clo, pad), jnp.pad(w, pad)
+    chunks = n_pad // _HIST_CHUNK
+
+    hi_ids = jnp.arange(_HIST_HI, dtype=jnp.int32)
+    clo_ids = jnp.arange(num_classes * lo_n, dtype=jnp.int32)
+
+    def body(acc, args):
+        hi_c, clo_c, w_c = args
+        oh_hi = (hi_c[:, None] == hi_ids).astype(jnp.bfloat16)
+        oh_clo = (clo_c[:, None] == clo_ids).astype(jnp.bfloat16) * w_c[:, None]
+        joint = jax.lax.dot_general(
+            oh_hi, oh_clo,
+            (((0,), (0,)), ((), ())),  # contract over pixels
+            preferred_element_type=jnp.float32,
+        )
+        return acc + joint, None
+
+    init = jnp.zeros((_HIST_HI, num_classes * lo_n), jnp.float32)
+    if chunks == 1:
+        joint, _ = body(init, (hi, clo, w))
+    else:
+        shape = (chunks, _HIST_CHUNK)
+        joint, _ = jax.lax.scan(
+            body, init, (hi.reshape(shape), clo.reshape(shape), w.reshape(shape))
+        )
+    # joint[h, c*lo_n + l] -> hist[c, h*lo_n + l]
+    return (
+        joint.reshape(_HIST_HI, num_classes, lo_n)
+        .transpose(1, 0, 2)
+        .reshape(num_classes, num_bins)
+    )
 
 
 def histogram_quantile(hist: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:

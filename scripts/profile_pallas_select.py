@@ -62,7 +62,57 @@ def bench(stats_source: str, use_pallas: bool, tmp="/tmp/pallas_prof") -> float:
     return best
 
 
+def bench_hist(stats_source: str, impl: str) -> float:
+    """Isolate JUST the class-prob histogram at the stats shape.
+
+    impl: 'scatter' | 'matmul' (policies.class_prob_histogram methods, input
+    = precomputed maxprob/pred) | 'pallas' (fused_hist hist-only: logits in,
+    so it additionally folds the confidences pass).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from hiast_tpu.pseudo import policies as P
+
+    key = jax.random.PRNGKey(0)
+    shape = (B, H, W, C) if stats_source == "full" else (B, LH, LW, C)
+    logits = jax.random.normal(key, shape, jnp.float32) * 4
+
+    if impl == "pallas":
+        from hiast_tpu.ops.pallas.select_kernel import fused_hist
+
+        fn = jax.jit(
+            lambda lg: fused_hist(lg, num_bins=2048, with_pixels=False)[2]
+        )
+        args = (logits,)
+    else:
+        maxprob, pred = jax.jit(P.confidences)(logits)
+        maxprob.block_until_ready()
+        fn = jax.jit(
+            lambda mp, pr: P.class_prob_histogram(mp, pr, C, 2048, method=impl)
+        )
+        args = (maxprob, pred)
+
+    h = fn(*args)
+    float(np.asarray(h[0, 0]))  # compile + sync
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(N_STEPS):
+            h = fn(*args)
+        float(np.asarray(h[0, 0]))
+        best = min(best, (time.time() - t0) / N_STEPS)
+    return best
+
+
 def main():
+    for stats_source in ("low", "full"):
+        for impl in ("scatter", "matmul", "pallas"):
+            dt = bench_hist(stats_source, impl)
+            print(
+                f"hist-only stats={stats_source:4s} impl={impl:7s}: "
+                f"{dt*1e3:8.2f} ms", flush=True,
+            )
     for stats_source in ("low", "full"):
         for use_pallas in (False, True):
             dt = bench(stats_source, use_pallas)

@@ -69,6 +69,19 @@ class TestFusedHist:
         np.testing.assert_array_equal(np.asarray(pred), np.asarray(want_pred))
         np.testing.assert_array_equal(np.asarray(hist), np.asarray(want_hist))
 
+    def test_hist_only_matches_full(self):
+        """with_pixels=False (the production stats-only call) returns the
+        identical histogram without the per-pixel outputs."""
+        from hiast_tpu.ops.pallas.select_kernel import fused_hist
+
+        logits = RNG.normal(size=(2, 24, 40, 19)).astype(np.float32) * 3
+        _, _, want = fused_hist(jnp.asarray(logits), num_bins=256, interpret=True)
+        mp, pred, hist = fused_hist(
+            jnp.asarray(logits), num_bins=256, interpret=True, with_pixels=False
+        )
+        assert mp is None and pred is None
+        np.testing.assert_array_equal(np.asarray(hist), np.asarray(want))
+
     def test_nvalid_suffix_masked(self):
         from hiast_tpu.ops.pallas.select_kernel import fused_hist
 

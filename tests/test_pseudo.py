@@ -35,6 +35,43 @@ class TestHistogramQuantile:
             assert abs(got[c] - want) < 2.0 / BINS, (c, got[c], want)
 
 
+class TestHistogramMatmul:
+    """The matmul-factorized histogram (the full-res stats path on TPU) must
+    be BIT-exact vs the scatter implementation — auto-switching between them
+    is only legal because of this."""
+
+    @pytest.mark.parametrize("num_bins", [2048, 256])
+    def test_bit_exact_vs_scatter(self, num_bins):
+        probs, preds = make_probs_preds()
+        w = (RNG.uniform(size=probs.shape) > 0.3).astype(np.float32)
+        for weights in (None, jnp.asarray(w)):
+            a = P.class_prob_histogram(
+                jnp.asarray(probs), jnp.asarray(preds), C, num_bins, weights,
+                method="scatter",
+            )
+            b = P.class_prob_histogram(
+                jnp.asarray(probs), jnp.asarray(preds), C, num_bins, weights,
+                method="matmul",
+            )
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_bit_exact_across_chunk_boundary(self):
+        """> _HIST_CHUNK pixels exercises the scan path incl. zero-weight
+        padding; maxprob == 1.0 exercises the top-bin clip."""
+        n = P._HIST_CHUNK + 12345
+        probs = np.clip(RNG.beta(5, 1, size=n).astype(np.float32), 0, 1)
+        probs[:100] = 1.0
+        preds = RNG.integers(0, C, size=n).astype(np.int32)
+        a = P.class_prob_histogram(
+            jnp.asarray(probs), jnp.asarray(preds), C, 2048, method="scatter"
+        )
+        b = P.class_prob_histogram(
+            jnp.asarray(probs), jnp.asarray(preds), C, 2048, method="matmul"
+        )
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert float(b.sum()) == n
+
+
 class TestIASUpdate:
     def test_matches_ragged_reference(self):
         """Against a numpy re-derivation of the reference IAS rule
