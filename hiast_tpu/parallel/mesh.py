@@ -2,9 +2,10 @@
 
 Replaces the reference's process-per-GPU NCCL runtime (reference:
 code/train.py:82, code/workflows/trainer/base_trainer.py:42-47) with a single
-program over a ``jax.sharding.Mesh``: parameters are replicated, batches are
-sharded over the ``data`` axis, and every collective the reference issued by
-hand (gradient all-reduce inside apex DDP, ``dist.all_reduce`` of IoU areas,
+program over a ``jax.sharding.Mesh``: parameters are replicated (or
+channel-sharded over 'model' for tensor parallelism), batches are sharded
+over the ``data`` axis, and every collective the reference issued by hand
+(gradient all-reduce inside apex DDP, ``dist.all_reduce`` of IoU areas,
 SyncBN stat sync) is emitted automatically by XLA over ICI when the sharded
 arrays are reduced under jit.  No ports, no process spawning.
 """
@@ -29,18 +30,22 @@ def make_mesh(cfg=None, devices=None, batch_size=None) -> Mesh:
     the conv halo exchanges automatically — the TPU answer to "the image
     doesn't fit one chip" (no reference analog; the reference crops instead,
     code/sseg/datasets/gtav_dataset.py:22).
+
+    ``runtime.mesh.model`` > 1 enables TENSOR parallelism: parameters (and
+    the mirrored optimizer/EMA state) are channel-sharded over the ``model``
+    axis (see ``shard_state``) and GSPMD propagates the sharding through the
+    network, inserting the collectives.  No reference analog (the 43M-param
+    CNN never needed it, SURVEY §2.2) — this exists for backbones that
+    outgrow one chip's HBM (e.g. SegFormer variants at high resolution).
     """
     devices = devices if devices is not None else jax.devices()
     data = cfg.runtime.mesh.data if cfg is not None else -1
     space = cfg.runtime.mesh.space if cfg is not None else 1
     model = cfg.runtime.mesh.model if cfg is not None else 1
-    if model != 1:
-        # params are replicated today; a model>1 mesh would silently idle
-        # devices. Fail loudly rather than waste a slice.
+    if model < 1 or model > len(devices):
         raise ValueError(
-            "runtime.mesh.model is reserved (tensor parallelism is not "
-            "implemented — the 43M-param CNN does not need it, SURVEY §2.2); "
-            f"got model={model}. Use mesh.data / mesh.space."
+            f"runtime.mesh.model={model} does not fit the {len(devices)} "
+            "available devices (need 1 <= model <= device count)."
         )
     if space < 1 or space > len(devices):
         raise ValueError(
@@ -116,3 +121,48 @@ def replicate(mesh: Mesh, tree):
             tree,
         )
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def model_sharding(mesh: Mesh, x) -> NamedSharding:
+    """Tensor-parallel placement for one state leaf: shard the trailing
+    (feature/channel) axis over 'model' when it divides evenly, else
+    replicate.
+
+    The trailing axis is the output-feature axis of every parameter family
+    in the framework — conv kernels are HWIO, dense kernels are [in, out],
+    and the per-channel vectors (bias, BN scale/bias/running stats) follow
+    their producer's output channels — so one shape rule shards params,
+    EMA params, and the mirrored Adam moments IDENTICALLY by construction.
+    GSPMD propagates the channel sharding through elementwise ops/BN and
+    inserts the conv/matmul collectives.  Scalars (step, Adam count) and
+    non-divisible leaves (the 19-class head) stay replicated.
+    """
+    m = mesh.shape.get("model", 1)
+    nd = np.ndim(x)
+    if m > 1 and nd >= 1:
+        dim = np.shape(x)[-1]
+        if dim % m == 0 and dim >= 2 * m:
+            return NamedSharding(mesh, P(*([None] * (nd - 1) + ["model"])))
+    return NamedSharding(mesh, P())
+
+
+def shard_state(mesh: Mesh, tree):
+    """Place a train-state pytree on the mesh: replicated on a model=1 mesh
+    (exactly ``replicate``), channel-sharded over 'model' otherwise.
+
+    Multi-host: every process holds the full value (same seed / checkpoint),
+    so shards are served from the local copy by index.
+    """
+    if mesh.shape.get("model", 1) == 1:
+        return replicate(mesh, tree)
+
+    def put(x):
+        s = model_sharding(mesh, x)
+        if jax.process_count() > 1:
+            xnp = np.asarray(x)
+            return jax.make_array_from_callback(
+                xnp.shape, s, lambda idx, _x=xnp: _x[idx]
+            )
+        return jax.device_put(x, s)
+
+    return jax.tree.map(put, tree)

@@ -70,7 +70,10 @@ def class_prob_histogram(
       ``onehot_hi[N, hi_n] x onehot_(class,lo)[N, C*lo_n] -> [hi_n, C*lo_n]``
       over pixel chunks — MXU work with full 128-row utilization instead of
       a scatter.  One-hots are exact in bf16 and the f32 accumulation is
-      exact below 2^24 pixels per cell, so counts are identical.
+      exact below 2^24 pixels per cell, so counts are identical.  (Weights
+      ride the bf16 one-hot: exact for the 0/1 pad masks every caller
+      passes; fractional weights would round to 8 bits — use ``scatter``
+      for those.)
 
     ``auto`` picks matmul for large pixel counts when the bin count allows
     the 128-way split.

@@ -19,7 +19,7 @@ from hiast_tpu.data.datasets import build_dataset
 from hiast_tpu.data.pipeline import BatchIterator, infinite_batches
 from hiast_tpu.evaluation import make_val_step, run_validation
 from hiast_tpu.models.segmentors import build_segmentor
-from hiast_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from hiast_tpu.parallel.mesh import make_mesh, shard_batch, shard_state
 from hiast_tpu.registry import TRAINER
 from hiast_tpu.selftrain import steps as S
 from hiast_tpu.selftrain.train_state import (
@@ -124,12 +124,26 @@ class BaseTrainer:
         state_kwargs.update(self.extra_state(variables))
         if resume and os.path.isdir(resume):
             state_kwargs = self._restore_from_orbax(resume, state_kwargs)
-        self.state = replicate(self.mesh, TrainState(**state_kwargs))
+        # replicated on a model=1 mesh; channel-sharded over 'model' (tensor
+        # parallelism) otherwise — params, EMA, Adam moments all by the same
+        # shape rule (mesh.model_sharding)
+        self.state = shard_state(self.mesh, TrainState(**state_kwargs))
         self.lr_fn = lr_schedule(cfg)
         self.model_recorder = ResultRecorder(
             cfg, "model", self.logger, self.writer, self.lr_fn
         )
-        self.step_fn = jax.jit(self.make_step(), donate_argnums=0)
+        step = self.make_step()
+        if self.mesh.shape.get("model", 1) > 1:
+            # pin the OUTPUT state to the input placement: without the
+            # constraint GSPMD may pick a different layout for the returned
+            # state, resharding it on every step boundary
+            out_shardings = jax.tree.map(lambda x: x.sharding, self.state)
+
+            def step(state, batch, rng, _inner=step, _out=out_shardings):
+                new_state, losses = _inner(state, batch, rng)
+                return jax.lax.with_sharding_constraint(new_state, _out), losses
+
+        self.step_fn = jax.jit(step, donate_argnums=0)
 
     def extra_state(self, variables) -> dict:
         return {}

@@ -152,12 +152,100 @@ def test_segformer_spatially_sharded_forward_matches(eight_devices):
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
-def test_model_axis_is_guarded(eight_devices):
+def test_tensor_parallel_step_matches_data_parallel(eight_devices):
+    """Full HIAST consistency step on a (data=4, model=2) mesh — parameters,
+    EMA, and optimizer moments channel-sharded over 'model'
+    (mesh.shard_state), GSPMD-inserted collectives — matches the pure-DP
+    (data=8) run: same losses, same updated params."""
+    from tests.test_steps import init_state, make_batch, tiny_cfg
+    from hiast_tpu.models.segmentors import build_segmentor
+    from hiast_tpu.parallel.mesh import shard_batch, shard_state
+    from hiast_tpu.registry import populate
+    from hiast_tpu.selftrain.steps import make_consistency_step
+
+    populate()
+    # SGD for the same reason as the spatial test above: reduction-order
+    # noise must not be amplified by Adam's sign-like first step.
+    cfg = tiny_cfg(**{
+        "cst_training.is_enabled": True,
+        "cst_training.cst_loss.weight": 0.5,
+        "train.optimizer": "SGD",
+    })
+    segmentor = build_segmentor(cfg, dtype=jnp.float32, backbone_layers=(1, 1, 1, 1))
+    state, tx, _ = init_state(cfg, segmentor, with_ema=True)
+    step = jax.jit(make_consistency_step(segmentor, tx, strong_aug="CCA"))
+    batch = make_batch(("t_img", "t_plbl"))
+    key = jax.random.PRNGKey(3)
+
+    results = {}
+    for name, model in (("dp", 1), ("dp_tp", 2)):
+        cfg.runtime.mesh.model = model
+        mesh = make_mesh(cfg)
+        assert mesh.shape["model"] == model
+        placed = shard_state(mesh, state)
+        if model > 1:
+            # the placement must actually split channels across devices
+            kernel = placed.params["backbone"]["conv1"]["kernel"]
+            shard = kernel.addressable_shards[0].data
+            assert shard.shape[-1] * model == kernel.shape[-1], (
+                shard.shape, kernel.shape
+            )
+            # the SGD chain is (add_decayed_weights, trace, ...): index 1
+            mu = placed.opt_state[1].trace["backbone"]["conv1"]["kernel"]
+            assert mu.addressable_shards[0].data.shape == shard.shape
+        new_state, losses = step(placed, shard_batch(mesh, dict(batch)), key)
+        results[name] = (
+            {k: float(v) for k, v in losses.items()},
+            np.asarray(new_state.params["backbone"]["conv1"]["kernel"]),
+        )
+
+    for k, v in results["dp"][0].items():
+        assert abs(results["dp_tp"][0][k] - v) < 1e-4, (k, v, results["dp_tp"][0][k])
+    np.testing.assert_allclose(results["dp_tp"][1], results["dp"][1], atol=1e-6)
+
+
+def test_segformer_tensor_parallel_forward_matches(eight_devices):
+    """SegFormer with channel-sharded params (the backbone family tensor
+    parallelism exists FOR — attention qkv/mlp dense kernels split over
+    'model'): GSPMD must still produce the unsharded numbers."""
+    from hiast_tpu.config import default_config
+    from hiast_tpu.models.segmentors import build_segmentor
+    from hiast_tpu.parallel.mesh import shard_batch, shard_state
+    from hiast_tpu.registry import populate
+
+    populate()
+    cfg = default_config()
+    cfg.model.type = "SelfTrainingSegmentor"
+    cfg.model.seg_model.type = "SegFormer_B0"
+    cfg.runtime.mesh.model = 2
+    cfg.train.batch_size = 4
+    segmentor = build_segmentor(cfg, dtype=jnp.float32)
+    variables = segmentor.init_variables(jax.random.PRNGKey(0), (1, 32, 64, 3))
+    variables = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+    img = jnp.asarray(RNG.normal(size=(4, 32, 64, 3)).astype(np.float32))
+
+    fwd = jax.jit(lambda v, x: segmentor.forward(v, x, train=False)["logits"])
+    want = np.asarray(fwd(variables, img))
+    mesh = make_mesh(cfg)
+    assert mesh.shape["model"] == 2
+    placed = shard_state(mesh, variables)
+    # at least one dense kernel must actually be split
+    flat = jax.tree_util.tree_leaves_with_path(placed["params"])
+    split = [
+        x for _, x in flat
+        if x.ndim >= 2 and x.addressable_shards[0].data.shape[-1] < x.shape[-1]
+    ]
+    assert split, "no parameter was model-sharded"
+    got = np.asarray(fwd(placed, shard_batch(mesh, img)))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_model_axis_validated(eight_devices):
     from hiast_tpu.config import default_config
 
     cfg = default_config()
-    cfg.runtime.mesh.model = 2
-    with pytest.raises(ValueError, match="reserved"):
+    cfg.runtime.mesh.model = 16  # more than the 8 devices
+    with pytest.raises(ValueError, match="model"):
         make_mesh(cfg)
 
 

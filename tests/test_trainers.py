@@ -54,6 +54,26 @@ class TestSourceOnlyTrainer:
         assert "model_last" in ckpts and "model_mid" in ckpts and "model_best" in ckpts
 
 
+class TestTensorParallelTrainer:
+    def test_source_only_on_model_mesh(self, tmp_path):
+        """Trainer wiring on a (data=4, model=2) mesh: state channel-sharded
+        over 'model' (mesh.shard_state), step output pinned to the input
+        placement — the loop runs, validates, and still learns."""
+        cfg = base_cfg(tmp_path, "SourceOnlyTrainer", iters=30)
+        cfg.model.type = "SourceOnlySegmentor"
+        cfg.runtime.mesh.model = 2
+        train, val = synthetic_sets()
+        trainer = TRAINER[cfg.trainer](
+            cfg, datasets={"source": train, "val": val}, backbone_layers=TINY
+        )
+        assert trainer.mesh.shape["model"] == 2
+        trainer.run()
+        # the returned state must still be channel-sharded (the out pin)
+        kernel = trainer.state.params["backbone"]["conv1"]["kernel"]
+        assert kernel.addressable_shards[0].data.shape[-1] * 2 == kernel.shape[-1]
+        assert trainer.model_recorder.best_miou > 0.08
+
+
 class TestSelfTrainingTrainer:
     def test_learns_on_pseudo_labels(self, tmp_path):
         cfg = base_cfg(tmp_path, "SelfTrainingTrainer", iters=30)
