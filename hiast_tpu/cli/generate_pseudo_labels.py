@@ -29,12 +29,15 @@ def make_forward(cfg, segmentor, variables):
     softmax-max selection consumes unchanged.
     """
     from hiast_tpu.ops.resize import bilinear_resize
-    from hiast_tpu.parallel.mesh import make_mesh, spatial_sharding
+    from hiast_tpu.parallel.mesh import make_mesh, shard_state, spatial_sharding
 
     mesh = make_mesh(cfg, batch_size=cfg.pseudo_policy.batch_size)
     # batch over 'data'; with runtime.mesh.space > 1 image rows are sharded
-    # over 'space' as well (generation at 768x1536+ beyond one chip's HBM)
+    # over 'space' as well (generation at 768x1536+ beyond one chip's HBM);
+    # with runtime.mesh.model > 1 the weights are channel-sharded (tensor
+    # parallelism) so generation runs on the same mesh configs as training
     sharding = spatial_sharding(mesh)
+    variables = shard_state(mesh, variables)
 
     ms_sizes = [tuple(s) for s in (cfg.pseudo_policy.ms_sizes or [])]
     is_flip = bool(cfg.pseudo_policy.is_flip)

@@ -154,9 +154,16 @@ class Validator:
     """Standalone multi-scale evaluator (reference code/workflows/validator.py)."""
 
     def __init__(self, cfg, segmentor, variables):
+        from hiast_tpu.parallel.mesh import make_mesh, shard_state
+
         self.cfg = cfg
         self.segmentor = segmentor
-        self.variables = variables
+        # place weights on the (data, space, model) mesh: batches shard over
+        # 'data' (+ image rows over 'space'), params channel-shard over
+        # 'model' when tensor parallelism is configured — the standalone
+        # evaluator accepts the same mesh configs as training
+        self.mesh = make_mesh(cfg, batch_size=cfg.validate.batch_size)
+        self.variables = shard_state(self.mesh, variables)
         # validate.resize_sizes is the multi-scale protocol (reference
         # validate.yaml always sets it); an empty list falls back to the
         # single dataset.val.resize_size so a train-style config evaluates
@@ -182,6 +189,7 @@ class Validator:
             self.variables["batch_stats"],
             data_iter,
             with_pred=True,
+            mesh=self.mesh,
         )
         if self.color_dir:
             for batch_preds, paths in preds:

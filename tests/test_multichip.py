@@ -240,6 +240,54 @@ def test_segformer_tensor_parallel_forward_matches(eight_devices):
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+def test_validator_and_pseudo_forward_on_model_mesh(eight_devices):
+    """The standalone Validator and the pseudo-gen forward accept the same
+    tensor-parallel mesh configs as training (weights channel-sharded via
+    mesh.shard_state) and produce the unsharded numbers — TP is uniform
+    across every entry point, not a train-only mode."""
+    from hiast_tpu.cli.generate_pseudo_labels import make_forward
+    from hiast_tpu.config import default_config
+    from hiast_tpu.evaluation import Validator
+    from hiast_tpu.models.segmentors import build_segmentor
+    from hiast_tpu.registry import populate
+
+    populate()
+    cfg = default_config()
+    cfg.model.type = "SourceOnlySegmentor"
+    cfg.validate.resize_sizes = [[16, 32]]
+    cfg.validate.batch_size = 4
+    cfg.pseudo_policy.batch_size = 4
+    seg = build_segmentor(cfg, dtype=jnp.float32, backbone_layers=(1, 1, 1, 1))
+    v = seg.init_variables(jax.random.PRNGKey(0), (1, 32, 64, 3))
+    variables = {"params": v["params"], "batch_stats": v["batch_stats"]}
+
+    img = RNG.integers(0, 255, size=(4, 32, 64, 3)).astype(np.uint8)
+    lbl = RNG.integers(0, C, size=(4, 32, 64)).astype(np.uint8)
+
+    def data_iter():
+        yield {
+            "images": img,
+            "labels": lbl,
+            "image_paths": [f"{i}.png" for i in range(4)],
+        }
+
+    val, gen = {}, {}
+    for model in (1, 2):
+        cfg.runtime.mesh.model = model
+        validator = Validator(cfg, seg, variables)
+        assert validator.mesh.shape["model"] == model
+        if model > 1:
+            kernel = validator.variables["params"]["backbone"]["conv1"]["kernel"]
+            shard = kernel.addressable_shards[0].data
+            assert shard.shape[-1] * model == kernel.shape[-1]
+        val[model] = validator.run(data_iter())
+        gen[model] = np.asarray(make_forward(cfg, seg, variables)(img)["full"])
+
+    np.testing.assert_allclose(val[2]["iou"], val[1]["iou"], atol=1e-6)
+    assert val[2]["miou"] == pytest.approx(val[1]["miou"], abs=1e-6)
+    np.testing.assert_allclose(gen[2], gen[1], atol=1e-4)
+
+
 def test_model_axis_validated(eight_devices):
     from hiast_tpu.config import default_config
 
