@@ -207,6 +207,24 @@ class GTAVDataset(BaseDataset):
         raise ValueError(f"invalid aug_type {aug_type!r}")
 
 
+def _probe_png_fi() -> bool:
+    """Can imageio's PNG-FI (FreeImage) backend actually decode?  Probes with
+    a tiny in-memory PNG so the answer reflects the BACKEND, not the file
+    that just failed."""
+    try:
+        import io
+
+        import imageio.v2 as imageio
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (2, 2)).save(buf, format="PNG")
+        imageio.imread(buf.getvalue(), format="PNG-FI")
+        return True
+    except Exception:  # noqa: BLE001 - any failure means "backend unusable"
+        return False
+
+
 @DATASET.register("SYNTHIA")
 class SYNTHIADataset(BaseDataset):
     # PNG-FI availability, latched only on PLUGIN-level failure (a single
@@ -234,17 +252,14 @@ class SYNTHIADataset(BaseDataset):
                 except ImportError:
                     SYNTHIADataset._imageio_plugin_ok = False
                 except Exception:  # noqa: BLE001 - plugin missing OR bad file
-                    # only latch when the PLUGIN is absent; a per-file error
-                    # falls through to cv2 for this file alone.  The plugin
-                    # table lives on the TOP-LEVEL package (imageio.v2 is an
-                    # API shim without .config).
-                    try:
-                        import imageio as _iio
-
-                        if "PNG-FI" not in _iio.config.known_plugins:
-                            SYNTHIADataset._imageio_plugin_ok = False
-                    except Exception:  # noqa: BLE001
-                        SYNTHIADataset._imageio_plugin_ok = False
+                    # Latch only on BACKEND-level failure; a per-file error
+                    # must fall through to cv2 for this file alone.  The
+                    # registration table can't distinguish the two (PNG-FI is
+                    # registered statically even when the FreeImage binary is
+                    # absent and imread raises NeedDownloadError), so probe
+                    # the backend ONCE with a known-good in-memory PNG.
+                    if SYNTHIADataset._imageio_plugin_ok is None:
+                        SYNTHIADataset._imageio_plugin_ok = _probe_png_fi()
             if lbl is None:
                 raw = cv2.imread(path, cv2.IMREAD_UNCHANGED)
                 if raw is None:

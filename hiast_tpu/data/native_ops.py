@@ -10,6 +10,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 
 import numpy as np
 
@@ -17,6 +18,7 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.pa
 _LIB_PATH = os.path.join(_NATIVE_DIR, "build", "libhiast_host_ops.so")
 
 _lib = None
+_lib_lock = threading.Lock()
 
 
 def _build() -> bool:
@@ -46,6 +48,18 @@ def _stale() -> bool:
 def get_lib():
     global _lib
     if _lib is not None:
+        return _lib or None
+    with _lib_lock:
+        return _get_lib_locked()
+
+
+def _get_lib_locked():
+    """Build+dlopen under _lib_lock: the dataset fetcher fans the first
+    batch out over a thread pool, and two concurrent `make` runs truncating
+    the same .so (or a CDLL of a half-written file) would crash startup
+    whenever the source is newer than a prebuilt library."""
+    global _lib
+    if _lib is not None:  # lost the race to another thread — reuse its work
         return _lib or None
     if (not os.path.exists(_LIB_PATH) or _stale()) and not _build():
         if not os.path.exists(_LIB_PATH):
@@ -173,6 +187,14 @@ def decode_png(blob: bytes) -> np.ndarray | None:
     if fn_h(_ptr(buf), buf.size, info) != 0:
         return None
     h, w, c, depth = info[0], info[1], info[2], info[3]
+    # Sanity-bound the DECLARED header dims before allocating: a corrupt or
+    # hostile IHDR can claim 2^31-scale dims (negative after the c_int cast)
+    # — without the bound np.empty raises, or the C++ side's row-buffer
+    # vector throws bad_alloc through the extern "C" boundary (terminate).
+    # 2^26 pixels ≈ 8192x8192 covers every real dataset image many times.
+    if not (0 < h and 0 < w and h * w <= (1 << 26) and c in (1, 2, 3, 4)
+            and depth in (8, 16)):
+        return None
     nbytes = h * w * c * (depth // 8)
     out = np.empty(nbytes, np.uint8)
     n = fn_d(_ptr(buf), buf.size, _ptr(out), out.size)

@@ -101,6 +101,13 @@ class SelfTrainingSegmentor(BaseSegmentor):
                 t_logits, ignored
             )
         if t_cst_lbl is not None and cfg.cst_training.is_enabled and cfg.cst_training.cst_loss.weight > 0:
+            # t_cst_lbl follows the reference teacher-target contract
+            # (consistency trainer :117-119): hard argmax for 'CE', softmax
+            # probabilities for everything else.  NOTE this matches the
+            # reference even where that is questionable — e.g. 'KLDIV'
+            # (losses take target LOGITS and softmax internally, reference
+            # losses.py:16-23) would see softmax(softmax(logits)), exactly as
+            # the reference would; released recipes only use SoftCE/CE.
             cst_loss_fn = LOSS[cfg.cst_training.cst_loss.type]
             losses["cst_loss"] = cfg.cst_training.cst_loss.weight * cst_loss_fn(
                 t_logits,

@@ -33,9 +33,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from hiast_tpu.pseudo.policies import HIST_HI, joint_to_class_hist
+
 IGNORE = 255
 TILE = 2048
-HIST_HI = 128  # joint-histogram matmul rows = one full MXU tile
 
 
 def _argmax_f32(x, t, c):
@@ -286,10 +287,7 @@ def fused_hist(
         interpret=interpret,
     )(nvalid, flat)
 
-    # joint[h, cls*lo_n + l] -> hist[cls, h*lo_n + l]
-    hist = (
-        outs[-1].reshape(HIST_HI, c, lo_n).transpose(1, 0, 2).reshape(c, eff_bins)
-    )
+    hist = joint_to_class_hist(outs[-1], c, eff_bins)
     if eff_bins != num_bins:
         # bins were computed at eff_bins resolution; fold down exactly
         hist = hist.reshape(c, num_bins, eff_bins // num_bins).sum(-1)

@@ -52,6 +52,11 @@ def make_mesh(cfg=None, devices=None, batch_size=None) -> Mesh:
             f"runtime.mesh.space={space} does not fit the {len(devices)} "
             "available devices (need 1 <= space <= device count)."
         )
+    if model * space > len(devices):
+        raise ValueError(
+            f"mesh space={space} x model={model} already exceeds the "
+            f"{len(devices)} available devices (no room for a data axis)."
+        )
     if data == -1:
         data = len(devices) // (model * space)
         if batch_size is None and cfg is not None:

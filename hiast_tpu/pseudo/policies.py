@@ -81,7 +81,7 @@ def class_prob_histogram(
     n = int(np.prod(pred.shape))
     if method == "auto":
         method = (
-            "matmul" if n >= (1 << 20) and num_bins % _HIST_HI == 0 else "scatter"
+            "matmul" if n >= (1 << 20) and num_bins % HIST_HI == 0 else "scatter"
         )
     if method == "matmul":
         return _class_prob_histogram_matmul(
@@ -94,7 +94,7 @@ def class_prob_histogram(
     return hist.reshape(num_classes, num_bins)
 
 
-_HIST_HI = 128  # rows of the joint-histogram matmul = one full MXU tile
+HIST_HI = 128  # rows of the joint-histogram matmul = one full MXU tile
 _HIST_CHUNK = 1 << 20  # pixels per scan step: bounds the one-hot HBM footprint
 
 
@@ -105,7 +105,7 @@ def _class_prob_histogram_matmul(
     num_bins: int,
     weights: jnp.ndarray | None,
 ) -> jnp.ndarray:
-    lo_n = num_bins // _HIST_HI
+    lo_n = num_bins // HIST_HI
     s = jnp.clip((maxprob.reshape(-1) * num_bins).astype(jnp.int32), 0, num_bins - 1)
     hi = s // lo_n  # [N] in [0, hi_n)
     clo = pred.reshape(-1) * lo_n + s % lo_n  # [N] in [0, C*lo_n)
@@ -121,7 +121,7 @@ def _class_prob_histogram_matmul(
         hi, clo, w = jnp.pad(hi, pad), jnp.pad(clo, pad), jnp.pad(w, pad)
     chunks = n_pad // _HIST_CHUNK
 
-    hi_ids = jnp.arange(_HIST_HI, dtype=jnp.int32)
+    hi_ids = jnp.arange(HIST_HI, dtype=jnp.int32)
     clo_ids = jnp.arange(num_classes * lo_n, dtype=jnp.int32)
 
     def body(acc, args):
@@ -135,7 +135,7 @@ def _class_prob_histogram_matmul(
         )
         return acc + joint, None
 
-    init = jnp.zeros((_HIST_HI, num_classes * lo_n), jnp.float32)
+    init = jnp.zeros((HIST_HI, num_classes * lo_n), jnp.float32)
     if chunks == 1:
         joint, _ = body(init, (hi, clo, w))
     else:
@@ -143,9 +143,17 @@ def _class_prob_histogram_matmul(
         joint, _ = jax.lax.scan(
             body, init, (hi.reshape(shape), clo.reshape(shape), w.reshape(shape))
         )
-    # joint[h, c*lo_n + l] -> hist[c, h*lo_n + l]
+    return joint_to_class_hist(joint, num_classes, num_bins)
+
+
+def joint_to_class_hist(joint, num_classes: int, num_bins: int):
+    """Unflatten a [HIST_HI, C*lo_n] hi/lo joint histogram to [C, num_bins]
+    (bin = hi * lo_n + lo).  Single source of truth for the hi/lo layout —
+    the Pallas kernel (ops/pallas/select_kernel.py) shares it, so the
+    XLA-vs-Pallas equality tests compare the SAME binning by construction."""
+    lo_n = num_bins // HIST_HI
     return (
-        joint.reshape(_HIST_HI, num_classes, lo_n)
+        joint.reshape(HIST_HI, num_classes, lo_n)
         .transpose(1, 0, 2)
         .reshape(num_classes, num_bins)
     )

@@ -83,24 +83,35 @@ def _apply_updates(state: TrainState, tx, grads, losses, new_batch_stats) -> Tra
     return new_state
 
 
-def _guarded_apply_updates(cfg, state, tx, grads, losses, new_batch_stats) -> TrainState:
-    """_apply_updates with the optional non-finite guard
-    (``runtime.skip_nonfinite_updates``): if any loss or gradient is
-    non-finite, keep params/opt-state unchanged for this step instead of
+def _guard_nonfinite(cfg, state, new_state, losses, grad_trees) -> TrainState:
+    """Optional non-finite guard (``runtime.skip_nonfinite_updates``): if any
+    loss or gradient is non-finite, keep the WHOLE old state (params, peer/D
+    params, optimizer moments, batch stats) for this step instead of
     poisoning the run.  Production hardening with no reference analog (a NaN
-    there corrupts every replica through the DDP all-reduce)."""
-    new_state = _apply_updates(state, tx, grads, losses, new_batch_stats)
+    there corrupts every replica through the DDP all-reduce).
+
+    ``losses`` includes discriminator terms on purpose (a NaN D grad must
+    also skip), and ``grad_trees`` lists every gradient pytree the step
+    applied (student, peer, discriminator)."""
     if not getattr(cfg.runtime, "skip_nonfinite_updates", False):
         return new_state
-    finite = jnp.isfinite(_total_loss(losses))
-    finite = jax.tree_util.tree_reduce(
-        lambda acc, g: acc & jnp.all(jnp.isfinite(g)), grads, finite
+    finite = functools.reduce(
+        lambda acc, v: acc & jnp.all(jnp.isfinite(v)), losses.values(), jnp.bool_(True)
     )
+    for g in grad_trees:
+        finite = jax.tree_util.tree_reduce(
+            lambda acc, x: acc & jnp.all(jnp.isfinite(x)), g, finite
+        )
     # On skip, keep the OLD batch_stats too: a NaN forward pass (the usual
     # source of a non-finite loss) writes NaN into the BN running stats, which
     # would poison the model permanently even though params were protected.
     skipped = state.replace(step=state.step + 1)
     return jax.tree.map(lambda a, b: jnp.where(finite, a, b), new_state, skipped)
+
+
+def _guarded_apply_updates(cfg, state, tx, grads, losses, new_batch_stats) -> TrainState:
+    new_state = _apply_updates(state, tx, grads, losses, new_batch_stats)
+    return _guard_nonfinite(cfg, state, new_state, losses, (grads,))
 
 
 # ---------------------------------------------------------------------------
@@ -242,6 +253,11 @@ def make_mutual_step(segmentor, tx, strong_aug: str | None = None) -> Callable:
     come from the weak view — the mutual analog of the consistency step."""
     cfg = segmentor.cfg
     strong_input = cfg.mut_training.is_strong_input and strong_aug is not None
+    # the mutual loss is ALIASED to the consistency loss (the reference's
+    # explicit choice, self_training_segmentor.py:22-23), so the peer target
+    # follows the same convention as the consistency teacher target
+    # (consistency trainer :117-119): hard argmax for CE, softmax otherwise
+    hard_target = cfg.cst_training.cst_loss.type == "CE"
 
     def step(state: TrainState, batch, rng):
         weak_raw = batch["t_img"].astype(jnp.float32)
@@ -256,16 +272,21 @@ def make_mutual_step(segmentor, tx, strong_aug: str | None = None) -> Callable:
             in_a = in_b = normalize_image(weak_raw)
         weak = normalize_image(weak_raw)
 
-        # peer soft targets from the weak view, eval mode, no gradients
-        def soft_target(params, batch_stats):
+        # peer targets from the weak view, eval mode, no gradients
+        def peer_target(params, batch_stats):
             logits = _forward_for_loss(
                 segmentor, {"params": params, "batch_stats": batch_stats}, weak,
                 train=False,
             )["logits"]
-            return jax.lax.stop_gradient(jax.nn.softmax(logits, axis=-1))
+            tgt = (
+                jnp.argmax(logits, axis=-1)
+                if hard_target
+                else jax.nn.softmax(logits, axis=-1)
+            )
+            return jax.lax.stop_gradient(tgt)
 
-        tgt_from_a = soft_target(state.params, state.batch_stats)
-        tgt_from_b = soft_target(state.peer_params, state.peer_batch_stats)
+        tgt_from_a = peer_target(state.params, state.batch_stats)
+        tgt_from_b = peer_target(state.peer_params, state.peer_batch_stats)
         plbl_full = batch["t_plbl"].astype(jnp.int32)
         plbl = _labels_for_loss(segmentor, plbl_full, tgt_from_a)
 
@@ -296,7 +317,7 @@ def make_mutual_step(segmentor, tx, strong_aug: str | None = None) -> Callable:
         new_state = new_state.replace(
             peer_params=new_peer, peer_batch_stats=bs_b, peer_opt_state=new_opt_b
         )
-        return new_state, losses
+        return _guard_nonfinite(cfg, state, new_state, losses, (g_a, g_b)), losses
 
     return step
 
@@ -340,7 +361,8 @@ def make_adversarial_step(segmentor, tx, d_tx) -> Callable:
         new_d_params = jax.tree.map(lambda p, u: p + u, state.d_params, d_updates)
         new_state = new_state.replace(d_params=new_d_params, d_opt_state=new_d_opt)
         losses = {**losses, **d_losses}
-        return new_state, losses
+        cfg = segmentor.cfg
+        return _guard_nonfinite(cfg, state, new_state, losses, (grads, d_grads)), losses
 
     return step
 

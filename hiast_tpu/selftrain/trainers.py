@@ -155,14 +155,19 @@ class BaseTrainer:
         from hiast_tpu.utils.checkpoint import load_train_state
 
         ckpt_dir, name = os.path.split(os.path.normpath(resume))
-        template = {
-            k: v for k, v in state_kwargs.items() if v is not None and k != "d_opt_state"
-        }
+        template = {k: v for k, v in state_kwargs.items() if v is not None}
         try:
             restored = load_train_state(ckpt_dir, name, template)
             state_kwargs.update(restored)
             self.logger.info(f"resumed FULL train state from {resume}")
-        except Exception:  # noqa: BLE001 - weights-only checkpoint
+        except Exception as e:  # noqa: BLE001 - weights-only checkpoint
+            # Name the reason: a weights-only checkpoint is routine, but a
+            # corrupt/mismatched full-state checkpoint falling back silently
+            # (fresh optimizer, step 0) is exactly what an operator must see.
+            self.logger.warning(
+                f"full-state restore from {resume} unavailable "
+                f"({type(e).__name__}: {e}); falling back to weights-only"
+            )
             variables = load_weights(
                 resume,
                 {"params": state_kwargs["params"], "batch_stats": state_kwargs["batch_stats"]},
@@ -306,6 +311,14 @@ class BaseTrainer:
                         f"train.resume_from={self.ckpt.ckpt_dir}/model_last"
                     )
                     break
+            else:
+                # Final checkpoint regardless of validation cadence: with no
+                # val dataset, or total_iter not a multiple of iter_val, the
+                # in-loop saves (all inside validate()) would otherwise drop
+                # the last iterations' weights on the floor — and run_rounds
+                # would feed a stale model_last into the next round.
+                if self._last_ckpt_iter < cfg.train.total_iter:
+                    self.save_checkpoint(cfg.train.total_iter, is_best=False)
         finally:
             self._restore_preemption_handler()
         self.model_recorder.report_end_info()
@@ -333,10 +346,17 @@ class BaseTrainer:
             tree["ema_params"] = self.state.ema_params
         if self.state.d_params is not None:
             tree["d_params"] = self.state.d_params
+        if self.state.d_opt_state is not None:
+            # without it, an adversarial full-state resume would silently
+            # reset D's Adam moments/schedule while G resumes mid-decay
+            tree["d_opt_state"] = self.state.d_opt_state
         return tree
+
+    _last_ckpt_iter = 0
 
     def save_checkpoint(self, iteration: int, is_best: bool):
         self.ckpt.save("model", self.checkpoint_tree(), iteration, is_best)
+        self._last_ckpt_iter = iteration
 
 
 @TRAINER.register("SourceOnlyTrainer")
@@ -380,9 +400,12 @@ class ConsistencySelfTrainingTrainer(SelfTrainingTrainer):
 
         super().assert_cfg()
         assert self.cfg.cst_training.is_enabled
-        assert self.cfg.preprocessor.type in PREPROCESSOR, (
-            f"unknown preprocessor {self.cfg.preprocessor.type!r}"
-        )
+        # A falsy type means PLAIN consistency self-training (no copy-paste)
+        # — a documented superset: the reference hard-requires CopyPaste here
+        # (consistency_self_training_trainer.py:25)
+        assert not self.cfg.preprocessor.type or (
+            self.cfg.preprocessor.type in PREPROCESSOR
+        ), f"unknown preprocessor {self.cfg.preprocessor.type!r}"
 
     def extra_state(self, variables):
         return {"ema_params": jax.tree.map(jnp.copy, variables["params"])}
@@ -430,9 +453,12 @@ class ConsistencySelfTrainingTrainer(SelfTrainingTrainer):
                     "requires this file (consistency trainer :29-30)"
                 )
             class_value = np.full(cfg.dataset.num_classes, 0.9, np.float32)
-        from hiast_tpu.registry import PREPROCESSOR
+        if cfg.preprocessor.type:
+            from hiast_tpu.registry import PREPROCESSOR
 
-        ds.set_preprocessor(PREPROCESSOR[cfg.preprocessor.type](cfg, ds, class_value))
+            ds.set_preprocessor(
+                PREPROCESSOR[cfg.preprocessor.type](cfg, ds, class_value)
+            )
         self.t_dataset = ds
         self.t_stream = infinite_batches(
             ds, self._local_batch(), seed=self._stream_seed(1),
@@ -457,25 +483,22 @@ class ConsistencySelfTrainingTrainer(SelfTrainingTrainer):
         return S.make_consistency_step(self.segmentor, self.tx, strong_aug=strong)
 
     def validate(self, iteration: int):
-        cfg = self.cfg
+        super().validate(iteration)  # student validation + checkpoint
+        # EMA model validated too (reference :85-87)
         val_iter = BatchIterator(
-            self.v_dataset, cfg.validate.batch_size, shuffle=False, drop_last=False
-        )
-        iou, miou = run_validation(
-            self.val_step, self.state.params, self.state.batch_stats, val_iter,
-            mesh=self.mesh,
-        )
-        is_best = self.model_recorder.record_and_report_metrics(miou, iou, iteration)
-        self.save_checkpoint(iteration, is_best)
-        # EMA model validated + saved as <ema_model_last> (reference :85-87,156-158)
-        val_iter = BatchIterator(
-            self.v_dataset, cfg.validate.batch_size, shuffle=False, drop_last=False
+            self.v_dataset, self.cfg.validate.batch_size, shuffle=False, drop_last=False
         )
         ema_iou, ema_miou = run_validation(
             self.val_step, self.state.ema_params, self.state.batch_stats, val_iter,
             mesh=self.mesh,
         )
         self.ema_recorder.record_and_report_metrics(ema_miou, ema_iou, iteration)
+
+    def save_checkpoint(self, iteration: int, is_best: bool):
+        super().save_checkpoint(iteration, is_best)
+        # <ema_model_last> weights-only artifact alongside every student save
+        # (reference :156-158) — also written by the final/preemption saves,
+        # so the run_rounds EMA->pseudo handoff never sees a stale teacher
         from hiast_tpu.utils.checkpoint import save_train_state
 
         save_train_state(

@@ -238,6 +238,47 @@ class TestSynthiaLabels:
         want = remap.remap_label(ids.astype(np.uint8), "SYNTHIA")
         np.testing.assert_array_equal(lbl, want)
 
+    def test_imageio_latch_probes_backend_not_registration(
+        self, tmp_path, monkeypatch
+    ):
+        """When imread fails, the latch decision comes from an actual backend
+        probe — registration alone can't distinguish 'PNG-FI registered but
+        FreeImage binary missing' (raises on EVERY file; must latch off) from
+        a single bad file (must NOT latch).  One probe, then cv2 fallback."""
+        import cv2
+        import imageio.v2 as iio
+        from hiast_tpu.config import default_config
+        from hiast_tpu.data import datasets as D
+
+        lbl16 = np.zeros((8, 12, 3), np.uint16)
+        ids = RNG.choice(list(remap.SYNTHIA_ID_MAP.keys()), size=(8, 12))
+        lbl16[..., 0] = ids
+        os.makedirs(tmp_path / "RGB"); os.makedirs(tmp_path / "GT")
+        cv2.imwrite(str(tmp_path / "GT" / "l.png"), lbl16[..., ::-1].copy())
+        Image.fromarray(np.zeros((8, 12, 3), np.uint8)).save(tmp_path / "RGB" / "i.png")
+        (tmp_path / "m.json").write_text(
+            json.dumps([{"image_name": "RGB/i.png", "mask_name": "GT/l.png"}])
+        )
+
+        monkeypatch.setattr(D.native_ops, "decode_png_file", lambda p: None)
+
+        def boom(*a, **k):
+            raise RuntimeError("FreeImage backend unavailable")
+
+        monkeypatch.setattr(iio, "imread", boom)
+        probes = []
+        monkeypatch.setattr(D, "_probe_png_fi", lambda: (probes.append(1), False)[1])
+        monkeypatch.setattr(D.SYNTHIADataset, "_imageio_plugin_ok", None)
+
+        cfg = default_config()
+        ds = D.SYNTHIADataset(cfg, str(tmp_path / "m.json"), str(tmp_path), aug_type=[])
+        want = remap.remap_label(ids.astype(np.uint8), "SYNTHIA")
+        for _ in range(3):  # every read still succeeds via cv2
+            _, lbl, _ = ds.load_data(0)
+            np.testing.assert_array_equal(lbl, want)
+        assert probes == [1], "backend probed exactly once, then latched"
+        assert D.SYNTHIADataset._imageio_plugin_ok is False
+
 
 class TestClassMixCutMix:
     def test_classmix_pastes_half_the_classes(self):

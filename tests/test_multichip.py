@@ -296,6 +296,15 @@ def test_model_axis_validated(eight_devices):
     with pytest.raises(ValueError, match="model"):
         make_mesh(cfg)
 
+    # jointly too large even though each axis fits individually: must be a
+    # descriptive ValueError, not ZeroDivisionError from the data auto-size
+    cfg2 = default_config()
+    cfg2.runtime.mesh.space = 4
+    cfg2.runtime.mesh.model = 4
+    cfg2.train.batch_size = 8
+    with pytest.raises(ValueError, match="exceeds"):
+        make_mesh(cfg2)
+
 
 def test_sharded_validation_matches(eight_devices):
     from hiast_tpu.ops.metrics import intersection_and_union

@@ -170,3 +170,24 @@ class TestPngDecode:
         pal.save(buf, format="PNG")
         assert native_ops.decode_png(buf.getvalue()) is None
         assert native_ops.decode_png(b"not a png") is None
+
+    def test_corrupt_header_dims_return_none(self):
+        """A corrupt/hostile IHDR declaring absurd dimensions must return
+        None (caller falls back), not raise from np.empty or abort the
+        process via bad_alloc behind the ctypes boundary."""
+        import io
+        import struct
+        import zlib
+
+        def png_with_dims(w, h):
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            chunks = b""
+            for tag, body in ((b"IHDR", ihdr), (b"IDAT", zlib.compress(b"\0" * 16)), (b"IEND", b"")):
+                chunks += struct.pack(">I", len(body)) + tag + body
+                chunks += struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+            return b"\x89PNG\r\n\x1a\n" + chunks
+
+        if native_ops.get_lib() is None:
+            pytest.skip("native lib unavailable")
+        assert native_ops.decode_png(png_with_dims(0x80000000, 4)) is None
+        assert native_ops.decode_png(png_with_dims(50000, 50000)) is None

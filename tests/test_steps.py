@@ -314,6 +314,62 @@ class TestNonFiniteGuard:
         s4 = jax.jit(lambda s, g: _guarded_apply_updates(cfg, s, tx, g, {"l": jnp.float32(1.0)}, {}))(state, bad)
         assert np.isnan(np.asarray(s4.params["w"])).any()
 
+    def test_guard_covers_adversarial_step(self):
+        """The guard protects the DISCRIMINATOR params/opt-state too — a NaN
+        batch must not poison either network in the two-optimizer step."""
+        cfg = tiny_cfg(**{
+            "model.type": "AdversarialWarmupSegmentor",
+            "model.discriminator.is_enabled": True,
+            "runtime.skip_nonfinite_updates": True,
+        })
+        segmentor = build_segmentor(cfg, dtype=jnp.float32, backbone_layers=TINY)
+        state, tx, d_tx = init_state(cfg, segmentor, with_d=True)
+        step = jax.jit(make_adversarial_step(segmentor, tx, d_tx))
+        batch = make_batch(("s_img", "s_lbl", "t_img"))
+        bad = dict(batch)
+        bad["t_img"] = np.full((8, H, W, 3), np.nan, np.float32)
+        new_state, losses = step(state, bad, jax.random.PRNGKey(0))
+        assert any(not np.isfinite(float(v)) for v in losses.values())
+        np.testing.assert_array_equal(
+            np.asarray(new_state.params["backbone"]["conv1"]["kernel"]),
+            np.asarray(state.params["backbone"]["conv1"]["kernel"]),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(new_state.d_params["params"]["conv1"]["kernel"]),
+            np.asarray(state.d_params["params"]["conv1"]["kernel"]),
+        )
+        assert int(new_state.step) == 1
+
+    def test_guard_covers_mutual_step(self):
+        """Both students' params stay untouched on a non-finite mutual step."""
+        from hiast_tpu.selftrain.steps import make_mutual_step
+
+        cfg = tiny_cfg(**{
+            "mut_training.is_enabled": True,
+            "mut_training.mut_loss.weight": 0.1,
+            "runtime.skip_nonfinite_updates": True,
+        })
+        segmentor = build_segmentor(cfg, dtype=jnp.float32, backbone_layers=TINY)
+        state, tx, _ = init_state(cfg, segmentor)
+        peer = segmentor.init_variables(jax.random.PRNGKey(11), (1, H, W, 3))
+        state = state.replace(
+            peer_params=peer["params"],
+            peer_batch_stats=peer["batch_stats"],
+            peer_opt_state=tx.init(peer["params"]),
+        )
+        step = jax.jit(make_mutual_step(segmentor, tx))
+        batch = make_batch(("t_img", "t_plbl"))
+        bad = dict(batch)
+        bad["t_img"] = np.full((8, H, W, 3), np.nan, np.float32)
+        new_state, losses = step(state, bad, jax.random.PRNGKey(0))
+        assert any(not np.isfinite(float(v)) for v in losses.values())
+        for field in ("params", "peer_params"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(new_state, field)["backbone"]["conv1"]["kernel"]),
+                np.asarray(getattr(state, field)["backbone"]["conv1"]["kernel"]),
+            )
+        assert int(new_state.step) == 1
+
 
 class TestColorAug:
     def test_batched_cca_shapes_and_range(self):

@@ -156,6 +156,66 @@ class TestConsistencyTrainer:
             )
 
 
+class TestPlainConsistency:
+    def test_runs_without_preprocessor(self, tmp_path):
+        """preprocessor.type=None -> PLAIN consistency self-training (EMA
+        teacher + cst loss, no copy-paste) — a documented superset: the
+        reference hard-requires CopyPaste (consistency trainer :25)."""
+        cfg = base_cfg(tmp_path, "ConsistencySelfTrainingTrainer", iters=6)
+        cfg.model.type = "SelfTrainingSegmentor"
+        cfg.cst_training.is_enabled = True
+        cfg.cst_training.cst_loss.weight = 0.5
+        cfg.preprocessor.type = None
+        cfg.dataset.target.aug_type = ["MS"]
+        cfg.train.iter_report = 100  # keep the loss window un-reset
+        train, val = synthetic_sets(with_ignore=True)
+        trainer = TRAINER[cfg.trainer](
+            cfg, datasets={"target": train, "val": val}, backbone_layers=TINY
+        )
+        trainer.run()
+        assert np.isfinite(trainer.model_recorder.best_miou)
+        assert "cst_loss" in trainer.model_recorder.losses_recorded
+        ckpts = os.listdir(os.path.join(cfg.work_dir, "checkpoints"))
+        assert "ema_model_last" in ckpts
+
+
+class TestFinalCheckpoint:
+    def test_saved_when_total_iter_off_val_cadence(self, tmp_path):
+        """total_iter not a multiple of iter_val: the final iterations must
+        still land in model_last (otherwise run_rounds feeds the next round
+        a stale checkpoint)."""
+        cfg = base_cfg(tmp_path, "SourceOnlyTrainer", iters=5)
+        cfg.model.type = "SourceOnlySegmentor"
+        cfg.train.iter_val = 4  # in-loop save happens at iter 4 only
+        train, val = synthetic_sets()
+        trainer = TRAINER[cfg.trainer](
+            cfg, datasets={"source": train, "val": val}, backbone_layers=TINY
+        )
+        trainer.run()
+        ckpt = os.path.join(cfg.work_dir, "checkpoints", "model_last")
+        cfg2 = base_cfg(tmp_path / "r", "SourceOnlyTrainer", iters=5)
+        cfg2.model.type = "SourceOnlySegmentor"
+        cfg2.train.resume_from = ckpt
+        trainer2 = TRAINER[cfg2.trainer](
+            cfg2, datasets={"source": train, "val": val}, backbone_layers=TINY
+        )
+        assert int(np.asarray(trainer2.state.step)) == 5  # not the stale 4
+
+    def test_saved_with_no_val_step(self, tmp_path):
+        """A run with no validation configured still checkpoints at the end
+        (the reference only saves inside validate, losing such runs)."""
+        cfg = base_cfg(tmp_path, "SourceOnlyTrainer", iters=3)
+        cfg.model.type = "SourceOnlySegmentor"
+        cfg.dataset.val.resize_size = []  # no val step at all
+        train, _ = synthetic_sets()
+        trainer = TRAINER[cfg.trainer](
+            cfg, datasets={"source": train}, backbone_layers=TINY
+        )
+        assert trainer.val_step is None
+        trainer.run()
+        assert "model_last" in os.listdir(os.path.join(cfg.work_dir, "checkpoints"))
+
+
 class TestPreemption:
     def test_sigterm_checkpoints_and_stops(self, tmp_path):
         """SIGTERM mid-run -> full-state checkpoint + clean stop; resume
@@ -285,6 +345,33 @@ class TestAdversarialTrainer:
         )
         trainer.run()
         assert np.isfinite(trainer.model_recorder.best_miou)
+
+    def test_full_resume_restores_d_opt_state(self, tmp_path):
+        """An adversarial full-state resume must restore the DISCRIMINATOR's
+        optimizer moments/count too, or D restarts its Adam schedule from
+        zero while G resumes mid-decay."""
+        import jax
+
+        cfg = base_cfg(tmp_path, "AdversarialWarmupTrainer", iters=4)
+        cfg.model.type = "AdversarialWarmupSegmentor"
+        cfg.model.discriminator.is_enabled = True
+        train, val = synthetic_sets()
+        target = SyntheticSegDataset(n=16, h=32, w=64, seed=9)
+        sets = {"source": train, "target": target, "val": val}
+        trainer = TRAINER[cfg.trainer](cfg, datasets=sets, backbone_layers=TINY)
+        trainer.run()
+
+        cfg2 = base_cfg(tmp_path / "r", "AdversarialWarmupTrainer", iters=6)
+        cfg2.model.type = "AdversarialWarmupSegmentor"
+        cfg2.model.discriminator.is_enabled = True
+        cfg2.train.resume_from = os.path.join(cfg.work_dir, "checkpoints", "model_last")
+        trainer2 = TRAINER[cfg2.trainer](cfg2, datasets=sets, backbone_layers=TINY)
+        assert int(np.asarray(trainer2.state.step)) == 4
+        want = jax.tree_util.tree_leaves(trainer.state.d_opt_state)
+        got = jax.tree_util.tree_leaves(trainer2.state.d_opt_state)
+        assert any(np.abs(np.asarray(x)).max() > 0 for x in want)  # trained moments
+        for a, b in zip(want, got):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a))
 
 
 class TestFullStateResume:
