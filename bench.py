@@ -45,7 +45,7 @@ def _compiled_flops(jitted, *args) -> float | None:
 
 
 def bench_train_step(batch_size: int, iters: int = 20, seg_model: str = "DeepLab_V2",
-                     remat: bool = False):
+                     remat: bool = False, remat_mode: str = "full"):
     import jax
     import jax.numpy as jnp
 
@@ -69,6 +69,7 @@ def bench_train_step(batch_size: int, iters: int = 20, seg_model: str = "DeepLab
     cfg.train.lr = 3e-6
     cfg.train.total_iter = 8000
     cfg.runtime.remat = remat
+    cfg.runtime.remat_mode = remat_mode
 
     segmentor = build_segmentor(cfg, dtype=jnp.bfloat16)
     h, w = 512, 1024

@@ -232,6 +232,11 @@ def default_config() -> ConfigNode:
                 # (jax.checkpoint): trades ~30% step FLOPs for activation
                 # memory — enables bigger batches / MiT-B5 at full res.
                 "remat": False,
+                # how to remat when enabled: 'full' (whole trunk) | 'dots'
+                # (save matmul outputs, recompute elementwise) | 'blocks' /
+                # 'blocks_dots' (per-transformer-block; lowest peak HBM on
+                # SegFormer trunks — falls back to 'full' elsewhere)
+                "remat_mode": "full",
                 # skip the optimizer update (keep params/opt state) on steps
                 # whose loss or gradients are non-finite, instead of letting
                 # one bad batch poison the run

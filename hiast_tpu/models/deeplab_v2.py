@@ -106,6 +106,13 @@ def build_seg_model(cfg, dtype=jnp.float32, backbone_layers=None):
         output_dim=cfg.model.seg_model.output_dim,
         dtype=dtype,
     )
+    if cfg.model.seg_model.type.startswith("SegFormer"):
+        # block-level remat modes live inside the transformer (see
+        # models/segformer.py:MixTransformer.remat); trunk-level modes
+        # ('full'/'dots') are applied outside by segmentors.raw_apply
+        mode = getattr(cfg.runtime, "remat_mode", "full")
+        on = getattr(cfg.runtime, "remat", False)
+        kwargs["remat"] = mode if (on and mode in ("blocks", "blocks_dots")) else "none"
     if backbone_layers is None and "backbone_layers" in cfg.model.seg_model:
         backbone_layers = cfg.model.seg_model.backbone_layers
     if backbone_layers is not None:

@@ -131,9 +131,28 @@ class MixTransformer(nn.Module):
     embed_dims: Sequence[int]
     depths: Sequence[int]
     dtype: Any = jnp.float32
+    # 'none' | 'blocks' | 'blocks_dots': per-BLOCK gradient rematerialization.
+    # Unlike whole-trunk jax.checkpoint (which recomputes the full forward and
+    # then holds nearly every residual live during the backward), per-block
+    # remat stores only the block-boundary activations and recomputes one
+    # block at a time — same +1-forward FLOP cost, far lower peak HBM.
+    # 'blocks_dots' additionally SAVES matmul outputs inside each block
+    # (dots_with_no_batch_dims_saveable): less recompute, more memory.
+    remat: str = "none"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
+        block_cls = MiTBlock
+        if train and self.remat in ("blocks", "blocks_dots"):
+            import jax
+
+            policy = (
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                if self.remat == "blocks_dots"
+                else None
+            )
+            # nn.remat is parameter-transparent: same param tree + names
+            block_cls = nn.remat(MiTBlock, policy=policy)
         feats = []
         for s in range(4):
             patch, stride = (7, 4) if s == 0 else (3, 2)
@@ -141,7 +160,7 @@ class MixTransformer(nn.Module):
                 self.embed_dims[s], patch, stride, dtype=self.dtype, name=f"patch_embed{s + 1}"
             )(x)
             for b in range(self.depths[s]):
-                x = MiTBlock(
+                x = block_cls(
                     self.embed_dims[s], NUM_HEADS[s], SR_RATIOS[s], MLP_RATIOS[s],
                     dtype=self.dtype, name=f"block{s + 1}_{b}",
                 )(x)
@@ -186,11 +205,14 @@ class SegFormer(nn.Module):
     variant: str = "B5"
     output_dim: int = 256  # interface parity; unused
     dtype: Any = jnp.float32
+    remat: str = "none"  # see MixTransformer.remat
 
     @nn.compact
     def __call__(self, x, train: bool = False, bn_axis_name=None, return_representation=False):
         embed_dims, depths = VARIANTS[self.variant]
-        feats = MixTransformer(embed_dims, depths, dtype=self.dtype, name="backbone")(x)
+        feats = MixTransformer(
+            embed_dims, depths, dtype=self.dtype, remat=self.remat, name="backbone"
+        )(x, train=train)
         head_dim = 256 if self.variant in ("B0",) else 768
         logits = SegFormerHead(
             self.num_classes, embed_dim=head_dim, dtype=self.dtype, name="decode_head"
@@ -202,9 +224,10 @@ class SegFormer(nn.Module):
 
 
 def _make_variant_factory(variant: str):
-    def factory(num_classes=19, output_dim=256, dtype=jnp.float32, **_ignored):
+    def factory(num_classes=19, output_dim=256, dtype=jnp.float32, remat="none", **_ignored):
         return SegFormer(
-            num_classes=num_classes, variant=variant, output_dim=output_dim, dtype=dtype
+            num_classes=num_classes, variant=variant, output_dim=output_dim,
+            dtype=dtype, remat=remat,
         )
 
     return factory

@@ -37,8 +37,17 @@ class BaseSegmentor:
 
     def raw_apply(self, variables, img, train: bool = False, mutable=False):
         """module.apply with optional gradient rematerialization
-        (cfg.runtime.remat): the whole trunk's activations are recomputed in
-        the backward pass instead of stored."""
+        (``cfg.runtime.remat`` on/off, ``cfg.runtime.remat_mode`` selects):
+
+        - ``'full'``: whole-trunk ``jax.checkpoint`` — store only the
+          inputs, recompute everything in the backward pass;
+        - ``'dots'``: whole-trunk checkpoint that SAVES matmul outputs
+          (``dots_with_no_batch_dims_saveable``) — less recompute, more HBM;
+        - ``'blocks'`` / ``'blocks_dots'``: per-transformer-block remat,
+          applied INSIDE the SegFormer module (models/segformer.py) — lowest
+          peak HBM for deep transformer trunks.  On non-transformer trunks
+          these fall back to whole-trunk 'full'.
+        """
         import jax
 
         def apply_fn(variables, x):
@@ -47,7 +56,19 @@ class BaseSegmentor:
             )
 
         if train and getattr(self.cfg.runtime, "remat", False):
-            apply_fn = jax.checkpoint(apply_fn)
+            mode = getattr(self.cfg.runtime, "remat_mode", "full")
+            if mode == "dots":
+                apply_fn = jax.checkpoint(
+                    apply_fn,
+                    policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                )
+            elif mode in ("blocks", "blocks_dots"):
+                # handled inside the module when it supports it (SegFormer);
+                # whole-trunk fallback otherwise
+                if getattr(self.module, "remat", "none") == "none":
+                    apply_fn = jax.checkpoint(apply_fn)
+            else:  # 'full'
+                apply_fn = jax.checkpoint(apply_fn)
         return apply_fn(variables, img)
 
     def forward(self, variables, img, train: bool = False, mutable=False):
