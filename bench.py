@@ -45,7 +45,8 @@ def _compiled_flops(jitted, *args) -> float | None:
 
 
 def bench_train_step(batch_size: int, iters: int = 20, seg_model: str = "DeepLab_V2",
-                     remat: bool = False, remat_mode: str = "full"):
+                     remat: bool = False, remat_mode: str = "full",
+                     fused_attention: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -70,6 +71,7 @@ def bench_train_step(batch_size: int, iters: int = 20, seg_model: str = "DeepLab
     cfg.train.total_iter = 8000
     cfg.runtime.remat = remat
     cfg.runtime.remat_mode = remat_mode
+    cfg.runtime.fused_attention = fused_attention
 
     segmentor = build_segmentor(cfg, dtype=jnp.bfloat16)
     h, w = 512, 1024

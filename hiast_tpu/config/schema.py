@@ -237,6 +237,12 @@ def default_config() -> ConfigNode:
                 # 'blocks_dots' (per-transformer-block; lowest peak HBM on
                 # SegFormer trunks — falls back to 'full' elsewhere)
                 "remat_mode": "full",
+                # fused flash-style Pallas attention for SegFormer trunks
+                # (ops/pallas/attention.py): the [N_q, N_kv] score matrix
+                # stays in VMEM instead of round-tripping HBM.  Same math;
+                # incompatible with mesh.model > 1 (pallas is opaque to the
+                # partitioner)
+                "fused_attention": False,
                 # skip the optimizer update (keep params/opt state) on steps
                 # whose loss or gradients are non-finite, instead of letting
                 # one bad batch poison the run

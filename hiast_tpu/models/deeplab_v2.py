@@ -113,6 +113,16 @@ def build_seg_model(cfg, dtype=jnp.float32, backbone_layers=None):
         mode = getattr(cfg.runtime, "remat_mode", "full")
         on = getattr(cfg.runtime, "remat", False)
         kwargs["remat"] = mode if (on and mode in ("blocks", "blocks_dots")) else "none"
+        fused = getattr(cfg.runtime, "fused_attention", False)
+        if fused and getattr(cfg.runtime.mesh, "model", 1) not in (1, -1):
+            # pallas_call is opaque to GSPMD: the head axis can't be split
+            # over the 'model' mesh axis.  Fail loudly, not slowly.
+            raise ValueError(
+                "runtime.fused_attention requires runtime.mesh.model == 1 "
+                "(the Pallas kernel cannot be tensor-parallel partitioned); "
+                "use the default einsum attention with model parallelism"
+            )
+        kwargs["fused_attention"] = fused
     if backbone_layers is None and "backbone_layers" in cfg.model.seg_model:
         backbone_layers = cfg.model.seg_model.backbone_layers
     if backbone_layers is not None:

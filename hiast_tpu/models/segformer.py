@@ -58,12 +58,20 @@ class OverlapPatchEmbed(nn.Module):
 
 
 class EfficientAttention(nn.Module):
-    """Self-attention with spatially-reduced K/V (SegFormer's SRA)."""
+    """Self-attention with spatially-reduced K/V (SegFormer's SRA).
+
+    ``fused=True`` (cfg ``runtime.fused_attention``) routes the softmax
+    chain through the flash-style Pallas kernel
+    (ops/pallas/attention.py) — the [N_q, N_kv] score matrix stays in
+    VMEM instead of round-tripping HBM (0.5 GB/block f32 for stage 1 at
+    512x1024 batch 8).  Identical math; parameters are unaffected.
+    """
 
     dim: int
     heads: int
     sr: int
     dtype: Any = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -86,9 +94,14 @@ class EfficientAttention(nn.Module):
         v = nn.Dense(self.dim, dtype=self.dtype, name="v")(kv_in).reshape(
             b, n_kv, self.heads, head_dim
         )
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-        attn = nn.softmax(attn * (1.0 / head_dim**0.5), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, h, w, self.dim)
+        if self.fused:
+            from hiast_tpu.ops.pallas.attention import sra_attention
+
+            out = sra_attention(q, k, v).reshape(b, h, w, self.dim)
+        else:
+            attn = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+            attn = nn.softmax(attn * (1.0 / head_dim**0.5), axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, h, w, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 
@@ -116,12 +129,14 @@ class MiTBlock(nn.Module):
     sr: int
     ratio: int
     dtype: Any = jnp.float32
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x):
         y = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")(x)
         x = x + EfficientAttention(
-            self.dim, self.heads, self.sr, dtype=self.dtype, name="attn"
+            self.dim, self.heads, self.sr, dtype=self.dtype,
+            fused=self.fused_attention, name="attn",
         )(y)
         y = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(x)
         return x + MixFFN(self.dim, self.ratio, dtype=self.dtype, name="ffn")(y)
@@ -139,6 +154,7 @@ class MixTransformer(nn.Module):
     # 'blocks_dots' additionally SAVES matmul outputs inside each block
     # (dots_with_no_batch_dims_saveable): less recompute, more memory.
     remat: str = "none"
+    fused_attention: bool = False  # see EfficientAttention.fused
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -162,7 +178,8 @@ class MixTransformer(nn.Module):
             for b in range(self.depths[s]):
                 x = block_cls(
                     self.embed_dims[s], NUM_HEADS[s], SR_RATIOS[s], MLP_RATIOS[s],
-                    dtype=self.dtype, name=f"block{s + 1}_{b}",
+                    dtype=self.dtype, fused_attention=self.fused_attention,
+                    name=f"block{s + 1}_{b}",
                 )(x)
             x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name=f"norm{s + 1}")(x)
             feats.append(x)
@@ -206,12 +223,14 @@ class SegFormer(nn.Module):
     output_dim: int = 256  # interface parity; unused
     dtype: Any = jnp.float32
     remat: str = "none"  # see MixTransformer.remat
+    fused_attention: bool = False  # see EfficientAttention.fused
 
     @nn.compact
     def __call__(self, x, train: bool = False, bn_axis_name=None, return_representation=False):
         embed_dims, depths = VARIANTS[self.variant]
         feats = MixTransformer(
-            embed_dims, depths, dtype=self.dtype, remat=self.remat, name="backbone"
+            embed_dims, depths, dtype=self.dtype, remat=self.remat,
+            fused_attention=self.fused_attention, name="backbone",
         )(x, train=train)
         head_dim = 256 if self.variant in ("B0",) else 768
         logits = SegFormerHead(
@@ -224,10 +243,11 @@ class SegFormer(nn.Module):
 
 
 def _make_variant_factory(variant: str):
-    def factory(num_classes=19, output_dim=256, dtype=jnp.float32, remat="none", **_ignored):
+    def factory(num_classes=19, output_dim=256, dtype=jnp.float32, remat="none",
+                fused_attention=False, **_ignored):
         return SegFormer(
             num_classes=num_classes, variant=variant, output_dim=output_dim,
-            dtype=dtype, remat=remat,
+            dtype=dtype, remat=remat, fused_attention=fused_attention,
         )
 
     return factory

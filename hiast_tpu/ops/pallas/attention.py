@@ -1,0 +1,219 @@
+"""Fused SRA (spatial-reduction attention) Pallas kernels for SegFormer.
+
+SegFormer's attention (reference counterpart: the torch
+``Attention.forward`` einsum chain in its mmseg backbone; our XLA path is
+models/segformer.py:EfficientAttention) has a special shape: queries are
+long (H*W tokens, 32k at 512x1024 train in stage 1) but K/V are reduced by
+sr^2 (all four stages land at ~512 KV tokens at train resolution).  The
+XLA path therefore materializes a [B, heads, N_q, N_kv] f32 score tensor in
+HBM (0.5 GB for one stage-1 block at batch 8) and reads it back through
+softmax and the P@V matmul — pure HBM-bandwidth waste.
+
+Because the WHOLE K/V block fits in VMEM, the fused kernel needs no online
+(running-max) softmax: each grid step loads one query tile, computes its
+full score row block, softmaxes it in registers/VMEM, and multiplies by V —
+the score matrix never touches HBM.  The backward pass (custom_vjp) is the
+standard flash-attention backward specialized to resident-KV: one pass over
+query tiles recomputes P and accumulates dK/dV in a VMEM-resident block
+while emitting dQ tiles, so the backward never materializes scores either.
+
+Numerics match the XLA path: bf16 matmul inputs with f32 accumulation
+(``preferred_element_type``), f32 softmax, P cast back to the compute dtype
+for the P@V product.  Tested against the einsum path fwd+grad in
+tests/test_pallas_attention.py (interpret mode on CPU, like the other
+Pallas kernels — Mosaic has no CPU backend).
+
+GSPMD note: a ``pallas_call`` is opaque to the partitioner, so under a >1
+``model`` (tensor-parallel) mesh axis the head dimension cannot be split
+into it; the builder keeps the einsum path in that case.  Pure data
+parallelism is unaffected (the op is per-sample; dp shards the batch
+outside the jit'd step).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _pick_tile_q(n_kv_pad: int) -> int:
+    # keep the f32 score tiles (fwd: 2, bwd: ~4 live) well inside VMEM
+    if n_kv_pad <= 1024:
+        return 512
+    return 256
+
+
+def _softmax_rows(s):
+    """Row softmax in f32; returns (p, nothing-saved) — KV is resident, no
+    online rescaling needed."""
+    m = jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s - m)
+    return e / jnp.sum(e, axis=1, keepdims=True)
+
+
+def _scores(q_ref, k_ref, scale, n_kv):
+    """[TQ, NKVP] f32 scaled scores with padded KV columns masked to -inf."""
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    n_kv_pad = s.shape[1]
+    if n_kv_pad != n_kv:  # static: mask the pad columns out of the softmax
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < n_kv, s, NEG_INF)
+    return s
+
+
+def _attn_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_kv):
+    p = _softmax_rows(_scores(q_ref, k_ref, scale, n_kv))
+    p_lo = p.astype(v_ref.dtype)  # match the XLA path's post-softmax cast
+    o = jax.lax.dot_general(
+        p_lo, v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale, n_kv):
+    iq = pl.program_id(1)
+    p = _softmax_rows(_scores(q_ref, k_ref, scale, n_kv))  # [TQ, NKVP] f32
+    lo = v_ref.dtype
+    p_lo = p.astype(lo)
+    do = do_ref[0]  # [TQ, D]
+
+    # dV += P^T dO ; dP = dO V^T ; dS = P*(dP - rowsum(P*dP))*scale
+    dv_tile = jax.lax.dot_general(
+        p_lo, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [NKVP, D]
+    dp = jax.lax.dot_general(
+        do, v_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [TQ, NKVP]
+    delta = jnp.sum(p * dp, axis=1, keepdims=True)
+    ds = (p * (dp - delta) * scale).astype(lo)
+
+    dq_ref[0] = jax.lax.dot_general(
+        ds, k_ref[0], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dk_tile = jax.lax.dot_general(
+        ds, q_ref[0], (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [NKVP, D]
+
+    # the (bh, 0) dK/dV blocks are revisited across the (inner) query-tile
+    # grid axis; TPU grids run sequentially, so accumulate in place
+    @pl.when(iq == 0)
+    def _init():
+        dk_ref[:] = jnp.zeros_like(dk_ref)
+        dv_ref[:] = jnp.zeros_like(dv_ref)
+
+    dk_ref[0] += dk_tile
+    dv_ref[0] += dv_tile
+
+
+def _pad_axis1(x, to):
+    return x if x.shape[1] == to else jnp.pad(x, ((0, 0), (0, to - x.shape[1]), (0, 0)))
+
+
+def _flatten_heads(x):
+    """[B, N, H, D] -> [B*H, N, D]."""
+    b, n, h, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b * h, n, d)
+
+
+def _unflatten_heads(x, b, h):
+    bh, n, d = x.shape
+    return x.reshape(b, h, n, d).transpose(0, 2, 1, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fwd_call(q, k, v, interpret):
+    (bh, n_q, d), n_kv = q.shape, k.shape[1]
+    scale = 1.0 / (d ** 0.5)
+    n_kv_pad = -(-n_kv // 128) * 128
+    tq = _pick_tile_q(n_kv_pad)
+    n_q_pad = -(-n_q // tq) * tq
+    qp = _pad_axis1(q, n_q_pad)
+    kp, vp = _pad_axis1(k, n_kv_pad), _pad_axis1(v, n_kv_pad)
+
+    out = pl.pallas_call(
+        functools.partial(_attn_fwd_kernel, scale=scale, n_kv=n_kv),
+        grid=(bh, n_q_pad // tq),
+        in_specs=[
+            pl.BlockSpec((1, tq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_kv_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_kv_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, n_q_pad, d), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :n_q]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _bwd_call(q, k, v, do, interpret):
+    (bh, n_q, d), n_kv = q.shape, k.shape[1]
+    scale = 1.0 / (d ** 0.5)
+    n_kv_pad = -(-n_kv // 128) * 128
+    tq = _pick_tile_q(n_kv_pad)
+    n_q_pad = -(-n_q // tq) * tq
+    qp, dop = _pad_axis1(q, n_q_pad), _pad_axis1(do, n_q_pad)
+    kp, vp = _pad_axis1(k, n_kv_pad), _pad_axis1(v, n_kv_pad)
+
+    qspec = pl.BlockSpec((1, tq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, n_kv_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=scale, n_kv=n_kv),
+        grid=(bh, n_q_pad // tq),
+        in_specs=[qspec, kvspec, kvspec, qspec],
+        out_specs=[
+            qspec,
+            pl.BlockSpec((1, n_kv_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_kv_pad, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n_q_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, n_kv_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, n_kv_pad, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, dop)
+    return dq[:, :n_q], dk[:, :n_kv], dv[:, :n_kv]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _sra_attention_flat(q, k, v, interpret):
+    return _fwd_call(q, k, v, interpret)
+
+
+def _sra_fwd(q, k, v, interpret):
+    return _fwd_call(q, k, v, interpret), (q, k, v)
+
+
+def _sra_bwd(interpret, res, g):
+    q, k, v = res
+    dq, dk, dv = _bwd_call(q, k, v, g.astype(q.dtype), interpret)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_sra_attention_flat.defvjp(_sra_fwd, _sra_bwd)
+
+
+def sra_attention(q, k, v, interpret: bool | None = None):
+    """Fused multi-head attention for resident-KV shapes.
+
+    q: [B, N_q, H, D]; k, v: [B, N_kv, H, D] with N_kv small enough that the
+    padded K/V block (rounded up to 128 rows) fits VMEM. Returns
+    [B, N_q, H, D] in q's dtype. Differentiable (custom flash-style VJP).
+    """
+    if interpret is None:  # Mosaic has no CPU backend; tests interpret
+        interpret = jax.default_backend() == "cpu"
+    b, _, h, _ = q.shape
+    out = _sra_attention_flat(
+        _flatten_heads(q), _flatten_heads(k), _flatten_heads(v), interpret
+    )
+    return _unflatten_heads(out, b, h)

@@ -14,19 +14,22 @@ import subprocess
 import sys
 
 VARIANTS = [
-    # (label, remat on, mode, batch)
-    ("no_remat_bs8", False, "full", 8),
-    ("full_bs8", True, "full", 8),
-    ("dots_bs8", True, "dots", 8),
-    ("blocks_bs8", True, "blocks", 8),
-    ("blocks_dots_bs8", True, "blocks_dots", 8),
+    # (label, remat on, mode, batch, fused_attention)
+    ("no_remat_bs8", False, "full", 8, False),
+    ("full_bs8", True, "full", 8, False),
+    ("dots_bs8", True, "dots", 8, False),
+    ("blocks_bs8", True, "blocks", 8, False),
+    ("blocks_dots_bs8", True, "blocks_dots", 8, False),
+    ("blocks_fusedattn_bs8", True, "blocks", 8, True),
+    ("no_remat_fusedattn_bs8", False, "full", 8, True),
 ]
 
 
-def run_one(remat: bool, mode: str, batch: int):
+def run_one(remat: bool, mode: str, batch: int, fused: bool = False):
     code = (
         "import json, bench; "
-        f"r = bench.bench_train_step({batch}, 10, 'SegFormer_B5', {remat!r}, {mode!r}); "
+        f"r = bench.bench_train_step({batch}, 10, 'SegFormer_B5', {remat!r}, {mode!r}, "
+        f"fused_attention={fused!r}); "
         "print('BENCH_RESULT ' + json.dumps(list(r)))"
     )
     out = subprocess.run(
@@ -40,9 +43,9 @@ def run_one(remat: bool, mode: str, batch: int):
 
 def main():
     results = {}
-    for label, remat, mode, batch in VARIANTS:
+    for label, remat, mode, batch, fused in VARIANTS:
         try:
-            ips, dt, mfu = run_one(remat, mode, batch)
+            ips, dt, mfu = run_one(remat, mode, batch, fused)
             results[label] = {
                 "imgs_per_sec": round(ips, 2),
                 "s_per_iter": round(dt, 4),
