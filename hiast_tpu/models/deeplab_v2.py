@@ -111,17 +111,27 @@ def build_seg_model(cfg, dtype=jnp.float32, backbone_layers=None):
         # models/segformer.py:MixTransformer.remat); trunk-level modes
         # ('full'/'dots') are applied outside by segmentors.raw_apply
         mode = getattr(cfg.runtime, "remat_mode", "full")
+        if mode not in ("full", "dots", "blocks", "blocks_dots"):
+            raise ValueError(
+                f"unknown runtime.remat_mode {mode!r}; expected one of "
+                "'full', 'dots', 'blocks', 'blocks_dots'"
+            )
         on = getattr(cfg.runtime, "remat", False)
         kwargs["remat"] = mode if (on and mode in ("blocks", "blocks_dots")) else "none"
         fused = getattr(cfg.runtime, "fused_attention", False)
-        if fused and getattr(cfg.runtime.mesh, "model", 1) not in (1, -1):
-            # pallas_call is opaque to GSPMD: the head axis can't be split
-            # over the 'model' mesh axis.  Fail loudly, not slowly.
-            raise ValueError(
-                "runtime.fused_attention requires runtime.mesh.model == 1 "
-                "(the Pallas kernel cannot be tensor-parallel partitioned); "
-                "use the default einsum attention with model parallelism"
-            )
+        if fused:
+            # The fused kernel partitions over the batch dim only (dp); the
+            # 'model' and 'space' axes exist to SPLIT the dims the kernel
+            # must keep whole (heads / image rows), so combining them would
+            # re-gather per layer.  Fail loudly, not slowly.
+            for axis in ("model", "space"):
+                if getattr(cfg.runtime.mesh, axis, 1) not in (1, -1):
+                    raise ValueError(
+                        f"runtime.fused_attention requires runtime.mesh.{axis}"
+                        " == 1 (the Pallas attention kernel partitions over"
+                        " the batch dim only); use the default einsum"
+                        " attention with tensor/spatial parallelism"
+                    )
         kwargs["fused_attention"] = fused
     if backbone_layers is None and "backbone_layers" in cfg.model.seg_model:
         backbone_layers = cfg.model.seg_model.backbone_layers

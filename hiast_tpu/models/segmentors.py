@@ -57,6 +57,11 @@ class BaseSegmentor:
 
         if train and getattr(self.cfg.runtime, "remat", False):
             mode = getattr(self.cfg.runtime, "remat_mode", "full")
+            if mode not in ("full", "dots", "blocks", "blocks_dots"):
+                raise ValueError(
+                    f"unknown runtime.remat_mode {mode!r}; expected one of "
+                    "'full', 'dots', 'blocks', 'blocks_dots'"
+                )
             if mode == "dots":
                 apply_fn = jax.checkpoint(
                     apply_fn,

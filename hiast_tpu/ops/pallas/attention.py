@@ -23,11 +23,22 @@ for the P@V product.  Tested against the einsum path fwd+grad in
 tests/test_pallas_attention.py (interpret mode on CPU, like the other
 Pallas kernels — Mosaic has no CPU backend).
 
-GSPMD note: a ``pallas_call`` is opaque to the partitioner, so under a >1
-``model`` (tensor-parallel) mesh axis the head dimension cannot be split
-into it; the builder keeps the einsum path in that case.  Pure data
-parallelism is unaffected (the op is per-sample; dp shards the batch
-outside the jit'd step).
+Partitioning: a raw ``pallas_call`` is opaque to GSPMD/Shardy — inside a
+jit over a device mesh it would silently all-gather its operands and run
+the GLOBAL batch on every chip.  The op is per-(sample, head), so both
+kernels are wrapped in ``custom_partitioning`` with a batch-dim sharding
+rule: under a ``data``-sharded batch each chip runs only its local shard
+and the output sharding is preserved (tested on the 8-device CPU mesh).
+The sequence/feature dims are declared need-replication; tensor (``model``
+axis) and spatial (``space`` axis) parallelism would have to re-gather
+what those modes exist to split, so the builder rejects the combination
+loudly (models/deeplab_v2.py:build_seg_model).
+
+Backward-precision note: dS is cast to the compute dtype before the dQ/dK
+matmuls (standard flash-attention practice — full-MXU-rate bf16 inputs);
+the einsum path's autodiff keeps dS in f32 for those two products.  In
+bf16 training the gradients therefore agree to bf16 tolerance, not
+bit-exactly; tests/test_pallas_attention.py bounds the drift.
 """
 from __future__ import annotations
 
@@ -37,6 +48,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec
 
 NEG_INF = -1e30
 
@@ -129,8 +142,7 @@ def _unflatten_heads(x, b, h):
     return x.reshape(b, h, n, d).transpose(0, 2, 1, 3)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _fwd_call(q, k, v, interpret):
+def _fwd_pallas(q, k, v, interpret):
     (bh, n_q, d), n_kv = q.shape, k.shape[1]
     scale = 1.0 / (d ** 0.5)
     n_kv_pad = -(-n_kv // 128) * 128
@@ -154,8 +166,7 @@ def _fwd_call(q, k, v, interpret):
     return out[:, :n_q]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _bwd_call(q, k, v, do, interpret):
+def _bwd_pallas(q, k, v, do, interpret):
     (bh, n_q, d), n_kv = q.shape, k.shape[1]
     scale = 1.0 / (d ** 0.5)
     n_kv_pad = -(-n_kv // 128) * 128
@@ -185,18 +196,77 @@ def _bwd_call(q, k, v, do, interpret):
     return dq[:, :n_q], dk[:, :n_kv], dv[:, :n_kv]
 
 
+def _batch_dim_sharding(mesh, shape_with_sharding):
+    """Keep only the leading (batch*heads) component of an operand's
+    sharding; the kernel needs the sequence/feature dims whole."""
+    spec = shape_with_sharding.sharding.spec
+    return NamedSharding(mesh, PartitionSpec(spec[0] if len(spec) else None))
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_op(interpret: bool):
+    impl = functools.partial(_fwd_pallas, interpret=interpret)
+
+    @custom_partitioning
+    def fwd(q, k, v):
+        return impl(q, k, v)
+
+    def partition(mesh, arg_shapes, result_shape):
+        out = _batch_dim_sharding(mesh, arg_shapes[0])
+        args = tuple(_batch_dim_sharding(mesh, s) for s in arg_shapes)
+        return mesh, impl, out, args
+
+    def infer(mesh, arg_shapes, result_shape):
+        return _batch_dim_sharding(mesh, arg_shapes[0])
+
+    fwd.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        # Shardy rule: factor order is first-appearance; need_replication
+        # must list factors in that (index) order
+        sharding_rule="b q d, b k d, b k d -> b q d",
+        need_replication_factors=("q", "d", "k"),
+    )
+    return fwd
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_op(interpret: bool):
+    impl = functools.partial(_bwd_pallas, interpret=interpret)
+
+    @custom_partitioning
+    def bwd(q, k, v, do):
+        return impl(q, k, v, do)
+
+    def partition(mesh, arg_shapes, result_shape):
+        args = tuple(_batch_dim_sharding(mesh, s) for s in arg_shapes)
+        outs = tuple(_batch_dim_sharding(mesh, s) for s in arg_shapes[:3])
+        return mesh, impl, outs, args
+
+    def infer(mesh, arg_shapes, result_shape):
+        return tuple(_batch_dim_sharding(mesh, s) for s in arg_shapes[:3])
+
+    bwd.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="b q d, b k d, b k d, b q d -> b q d, b k d, b k d",
+        need_replication_factors=("q", "d", "k"),
+    )
+    return bwd
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _sra_attention_flat(q, k, v, interpret):
-    return _fwd_call(q, k, v, interpret)
+    return _fwd_op(interpret)(q, k, v)
 
 
 def _sra_fwd(q, k, v, interpret):
-    return _fwd_call(q, k, v, interpret), (q, k, v)
+    return _fwd_op(interpret)(q, k, v), (q, k, v)
 
 
 def _sra_bwd(interpret, res, g):
     q, k, v = res
-    dq, dk, dv = _bwd_call(q, k, v, g.astype(q.dtype), interpret)
+    dq, dk, dv = _bwd_op(interpret)(q, k, v, g.astype(q.dtype))
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 

@@ -388,50 +388,27 @@ class TestSegFormer:
         as no remat — identical losses and updated params, identical param
         tree (nn.remat must stay parameter-transparent so checkpoints
         interoperate across modes)."""
-        from hiast_tpu.config import default_config
-        from hiast_tpu.models.segmentors import build_segmentor
-        from hiast_tpu.registry import populate
-        from hiast_tpu.selftrain.steps import make_self_training_step
-        from hiast_tpu.selftrain.train_state import TrainState, make_optimizer
+        from helpers import assert_same_step, make_b0_batch, run_b0_self_training_step
 
-        populate()
-        rng = np.random.default_rng(3)
-        batch = {
-            "t_img": rng.integers(0, 255, size=(2, 64, 128, 3)).astype(np.uint8),
-            "t_plbl": rng.integers(0, 19, size=(2, 64, 128)).astype(np.int32),
-        }
+        batch = make_b0_batch()
 
         def run(remat: bool, mode: str):
-            cfg = default_config()
-            cfg.model.type = "SelfTrainingSegmentor"
-            cfg.model.seg_model.type = "SegFormer_B0"
-            cfg.runtime.remat = remat
-            cfg.runtime.remat_mode = mode
-            segmentor = build_segmentor(cfg, dtype=jnp.float32)
-            variables = segmentor.init_variables(jax.random.PRNGKey(0), (1, 64, 128, 3))
-            tx = make_optimizer(cfg, variables["params"])
-            state = TrainState(
-                step=jnp.zeros((), jnp.int32),
-                params=variables["params"],
-                batch_stats=variables["batch_stats"],
-                opt_state=tx.init(variables["params"]),
-            )
-            step = jax.jit(make_self_training_step(segmentor, tx))
-            new_state, losses = step(state, batch, jax.random.PRNGKey(1))
-            return new_state, losses
+            def mutate(cfg):
+                cfg.runtime.remat = remat
+                cfg.runtime.remat_mode = mode
 
-        ref_state, ref_losses = run(False, "full")
-        ref_leaves = jax.tree_util.tree_leaves_with_path(ref_state.params)
+            return run_b0_self_training_step(batch, mutate)
+
+        ref = run(False, "full")
         for mode in ("full", "dots", "blocks", "blocks_dots"):
-            got_state, got_losses = run(True, mode)
-            got_leaves = jax.tree_util.tree_leaves_with_path(got_state.params)
-            assert [p for p, _ in got_leaves] == [p for p, _ in ref_leaves], mode
-            for k in ref_losses:
-                np.testing.assert_allclose(
-                    float(got_losses[k]), float(ref_losses[k]), rtol=1e-5, err_msg=f"{mode}/{k}"
-                )
-            for (path, a), (_, b) in zip(ref_leaves, got_leaves):
-                np.testing.assert_allclose(
-                    np.asarray(b), np.asarray(a), rtol=2e-4, atol=1e-7,
-                    err_msg=f"{mode}/{jax.tree_util.keystr(path)}",
-                )
+            assert_same_step(ref, run(True, mode), mode)
+
+    def test_unknown_remat_mode_rejected(self):
+        from helpers import make_b0_batch, run_b0_self_training_step
+
+        def mutate(cfg):
+            cfg.runtime.remat = True
+            cfg.runtime.remat_mode = "block"  # typo'd singular
+
+        with pytest.raises(ValueError, match="remat_mode"):
+            run_b0_self_training_step(make_b0_batch(), mutate)

@@ -79,60 +79,83 @@ def test_grads_match_einsum(b, nq, nkv, h, d):
         )
 
 
+def test_bf16_grads_within_bf16_tolerance():
+    """bf16 is the production dtype; the kernel's backward casts dS to bf16
+    before the dQ/dK matmuls (flash-attention practice) where the einsum
+    autodiff keeps f32 — bound the drift at bf16 resolution."""
+    q, k, v = make_qkv(1, 512, 128, 2, 64, jnp.bfloat16)
+    w = jnp.asarray(RNG.normal(size=(1, 512, 2, 64)).astype(np.float32))
+
+    def loss(attn_fn):
+        def f(q, k, v):
+            return jnp.sum(attn_fn(q, k, v).astype(jnp.float32) * w)
+
+        return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+    got = loss(functools.partial(sra_attention, interpret=True))
+    want = loss(einsum_attention)
+    for g, r, name in zip(got, want, "qkv"):
+        g, r = np.asarray(g, np.float32), np.asarray(r, np.float32)
+        scale = np.abs(r).max()
+        np.testing.assert_allclose(g, r, atol=0.03 * scale, rtol=0.1, err_msg=name)
+
+
+def test_sharded_batch_stays_sharded():
+    """Under a jit over the 8-device 'data' mesh, the custom_partitioning
+    wrapper must keep the op per-shard: output sharding preserved (no
+    silent all-gather-and-replicate) and values equal to unsharded."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    q, k, v = make_qkv(8, 256, 96, 2, 64, jnp.float32)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    s = NamedSharding(mesh, P("data"))
+    qs, ks, vs = (jax.device_put(x, s) for x in (q, k, v))
+
+    f = jax.jit(lambda q, k, v: sra_attention(q, k, v, interpret=True))
+    out = f(qs, ks, vs)
+    assert out.sharding.spec == P("data"), out.sharding
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(f(q, k, v)), rtol=1e-6, atol=1e-6
+    )
+
+    # gradients partition too (the backward op has its own sharding rule)
+    def loss(q, k, v):
+        return jnp.sum(sra_attention(q, k, v, interpret=True) ** 2)
+
+    g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+    gs, gr = g(qs, ks, vs), g(q, k, v)
+    for a, b, name in zip(gs, gr, "qkv"):
+        assert a.sharding.spec == P("data"), (name, a.sharding)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6, err_msg=name
+        )
+
+
 def test_segformer_fused_step_matches_einsum_step():
     """runtime.fused_attention=True must not change the SegFormer training
     step: identical param tree, matching losses and updated params."""
-    from hiast_tpu.config import default_config
-    from hiast_tpu.models.segmentors import build_segmentor
-    from hiast_tpu.registry import populate
-    from hiast_tpu.selftrain.steps import make_self_training_step
-    from hiast_tpu.selftrain.train_state import TrainState, make_optimizer
+    from helpers import assert_same_step, make_b0_batch, run_b0_self_training_step
 
-    populate()
-    batch = {
-        "t_img": RNG.integers(0, 255, size=(2, 64, 128, 3)).astype(np.uint8),
-        "t_plbl": RNG.integers(0, 19, size=(2, 64, 128)).astype(np.int32),
-    }
+    batch = make_b0_batch(seed=7)
 
     def run(fused: bool):
-        cfg = default_config()
-        cfg.model.type = "SelfTrainingSegmentor"
-        cfg.model.seg_model.type = "SegFormer_B0"
-        cfg.runtime.fused_attention = fused
-        segmentor = build_segmentor(cfg, dtype=jnp.float32)
-        variables = segmentor.init_variables(jax.random.PRNGKey(0), (1, 64, 128, 3))
-        tx = make_optimizer(cfg, variables["params"])
-        state = TrainState(
-            step=jnp.zeros((), jnp.int32),
-            params=variables["params"],
-            batch_stats=variables["batch_stats"],
-            opt_state=tx.init(variables["params"]),
-        )
-        step = jax.jit(make_self_training_step(segmentor, tx))
-        new_state, losses = step(state, batch, jax.random.PRNGKey(1))
-        return new_state, losses
+        def mutate(cfg):
+            cfg.runtime.fused_attention = fused
 
-    ref_state, ref_losses = run(False)
-    got_state, got_losses = run(True)
-    ref_leaves = jax.tree_util.tree_leaves_with_path(ref_state.params)
-    got_leaves = jax.tree_util.tree_leaves_with_path(got_state.params)
-    assert [p for p, _ in got_leaves] == [p for p, _ in ref_leaves]
-    for name in ref_losses:
-        np.testing.assert_allclose(
-            float(got_losses[name]), float(ref_losses[name]), rtol=1e-4, err_msg=name
-        )
-    for (path, a), (_, b) in zip(ref_leaves, got_leaves):
-        # atol is one Adam-update scale: on ~zero grads m/sqrt(v) amplifies
-        # float-associativity noise between the two (equivalent) attention
-        # lowerings to a full +/-update sign flip.  The sharp equivalence
-        # check is the loss comparison above; this bounds the trajectory.
-        np.testing.assert_allclose(
-            np.asarray(b), np.asarray(a), rtol=5e-3, atol=5e-4,
-            err_msg=jax.tree_util.keystr(path),
-        )
+        return run_b0_self_training_step(batch, mutate)
+
+    # param atol is one Adam-update scale: on ~zero grads m/sqrt(v)
+    # amplifies float-associativity noise between the two (equivalent)
+    # attention lowerings to a full +/-update sign flip.  The sharp
+    # equivalence check is the loss rtol; params bound the trajectory.
+    assert_same_step(
+        run(False), run(True), "fused_attention",
+        loss_rtol=1e-4, param_rtol=5e-3, param_atol=5e-4,
+    )
 
 
-def test_fused_attention_rejects_model_parallelism():
+@pytest.mark.parametrize("axis", ["model", "space"])
+def test_fused_attention_rejects_tensor_and_spatial_parallelism(axis):
     from hiast_tpu.config import default_config
     from hiast_tpu.models.deeplab_v2 import build_seg_model
     from hiast_tpu.registry import populate
@@ -141,6 +164,6 @@ def test_fused_attention_rejects_model_parallelism():
     cfg = default_config()
     cfg.model.seg_model.type = "SegFormer_B0"
     cfg.runtime.fused_attention = True
-    cfg.runtime.mesh.model = 2
+    setattr(cfg.runtime.mesh, axis, 2)
     with pytest.raises(ValueError, match="fused_attention"):
         build_seg_model(cfg)
