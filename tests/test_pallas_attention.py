@@ -154,6 +154,27 @@ def test_segformer_fused_step_matches_einsum_step():
     )
 
 
+def test_fused_attention_composes_with_block_remat():
+    """The production MiT-B5 configuration is per-block remat + fused
+    attention together (custom_vjp inside nn.remat): same step as the
+    plain einsum/no-remat baseline."""
+    from helpers import assert_same_step, make_b0_batch, run_b0_self_training_step
+
+    batch = make_b0_batch(seed=13)
+
+    def mutate(cfg):
+        cfg.runtime.remat = True
+        cfg.runtime.remat_mode = "blocks"
+        cfg.runtime.fused_attention = True
+
+    assert_same_step(
+        run_b0_self_training_step(batch),
+        run_b0_self_training_step(batch, mutate),
+        "blocks+fused",
+        loss_rtol=1e-4, param_rtol=5e-3, param_atol=5e-4,
+    )
+
+
 @pytest.mark.parametrize("axis", ["model", "space"])
 def test_fused_attention_rejects_tensor_and_spatial_parallelism(axis):
     from hiast_tpu.config import default_config
