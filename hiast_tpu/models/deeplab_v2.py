@@ -95,6 +95,20 @@ class FCDiscriminator(nn.Module):
         return x
 
 
+REMAT_MODES = ("full", "dots", "blocks", "blocks_dots")
+
+
+def validate_remat_mode(mode: str) -> str:
+    """Single source of truth for ``runtime.remat_mode`` values (used at
+    model build for SegFormer and at trace time in segmentors.raw_apply)."""
+    if mode not in REMAT_MODES:
+        raise ValueError(
+            f"unknown runtime.remat_mode {mode!r}; expected one of "
+            + ", ".join(repr(m) for m in REMAT_MODES)
+        )
+    return mode
+
+
 def build_seg_model(cfg, dtype=jnp.float32, backbone_layers=None):
     """Instantiate the configured segmentation trunk (registry-dispatched).
 
@@ -110,12 +124,7 @@ def build_seg_model(cfg, dtype=jnp.float32, backbone_layers=None):
         # block-level remat modes live inside the transformer (see
         # models/segformer.py:MixTransformer.remat); trunk-level modes
         # ('full'/'dots') are applied outside by segmentors.raw_apply
-        mode = getattr(cfg.runtime, "remat_mode", "full")
-        if mode not in ("full", "dots", "blocks", "blocks_dots"):
-            raise ValueError(
-                f"unknown runtime.remat_mode {mode!r}; expected one of "
-                "'full', 'dots', 'blocks', 'blocks_dots'"
-            )
+        mode = validate_remat_mode(getattr(cfg.runtime, "remat_mode", "full"))
         on = getattr(cfg.runtime, "remat", False)
         kwargs["remat"] = mode if (on and mode in ("blocks", "blocks_dots")) else "none"
         fused = getattr(cfg.runtime, "fused_attention", False)

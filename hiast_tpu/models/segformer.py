@@ -6,10 +6,12 @@ spatial-reduction attention, Mix-FFN with a depthwise conv) + the all-MLP
 SegFormer decode head producing stride-4 logits.
 
 TPU notes: attention runs over (H/stride * W/stride) tokens with
-spatial-reduction ratios (8,4,2,1), so sequence lengths stay modest (at
-768x1536 input, stage 1 is 73k tokens with K/V reduced 64x) — standard
-`jnp.einsum` attention maps straight onto the MXU; no custom kernels or
-sequence parallelism needed (SURVEY §5.7).
+spatial-reduction ratios (8,4,2,1) — queries are long but K/V stay ~512
+tokens at train resolution.  The default path is plain `jnp.einsum`
+attention (maps straight onto the MXU; no sequence parallelism needed,
+SURVEY §5.7); `runtime.fused_attention` opts into the flash-style Pallas
+kernel (ops/pallas/attention.py) that keeps the [N_q, N_kv] score matrix
+in VMEM instead of round-tripping HBM — same math, same param tree.
 
 Variants: B0..B5 via (embed_dims, depths).  Registered as
 SEG_MODEL['SegFormer_B5'] etc., drop-in for DeepLab_V2 in any config
@@ -94,14 +96,10 @@ class EfficientAttention(nn.Module):
         v = nn.Dense(self.dim, dtype=self.dtype, name="v")(kv_in).reshape(
             b, n_kv, self.heads, head_dim
         )
-        if self.fused:
-            from hiast_tpu.ops.pallas.attention import sra_attention
+        from hiast_tpu.ops.pallas.attention import sra_attention, sra_attention_reference
 
-            out = sra_attention(q, k, v).reshape(b, h, w, self.dim)
-        else:
-            attn = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-            attn = nn.softmax(attn * (1.0 / head_dim**0.5), axis=-1).astype(self.dtype)
-            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, h, w, self.dim)
+        attn_fn = sra_attention if self.fused else sra_attention_reference
+        out = attn_fn(q, k, v).reshape(b, h, w, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 

@@ -15,7 +15,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from hiast_tpu.models.deeplab_v2 import FCDiscriminator, build_seg_model
+from hiast_tpu.models.deeplab_v2 import FCDiscriminator, build_seg_model, validate_remat_mode
 from hiast_tpu.ops import losses as L
 from hiast_tpu.ops.resize import bilinear_resize
 from hiast_tpu.registry import LOSS, MODEL
@@ -56,12 +56,7 @@ class BaseSegmentor:
             )
 
         if train and getattr(self.cfg.runtime, "remat", False):
-            mode = getattr(self.cfg.runtime, "remat_mode", "full")
-            if mode not in ("full", "dots", "blocks", "blocks_dots"):
-                raise ValueError(
-                    f"unknown runtime.remat_mode {mode!r}; expected one of "
-                    "'full', 'dots', 'blocks', 'blocks_dots'"
-                )
+            mode = validate_remat_mode(getattr(self.cfg.runtime, "remat_mode", "full"))
             if mode == "dots":
                 apply_fn = jax.checkpoint(
                     apply_fn,

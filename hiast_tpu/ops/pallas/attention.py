@@ -54,6 +54,22 @@ from jax.sharding import NamedSharding, PartitionSpec
 NEG_INF = -1e30
 
 
+def sra_attention_reference(q, k, v):
+    """The plain-XLA einsum path — the exact math the fused kernel must
+    match: f32 scores, f32 softmax, P cast back to the compute dtype for
+    P@V.  This is the SINGLE copy of the reference math: production
+    non-fused attention (models/segformer.py:EfficientAttention), the
+    parity tests, and the TPU profiler all call it, so a numerics change
+    here cannot leave a stale twin behind.
+
+    q: [B, N_q, H, D]; k, v: [B, N_kv, H, D] -> [B, N_q, H, D] in q's dtype.
+    """
+    head_dim = q.shape[-1]
+    attn = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    attn = jax.nn.softmax(attn * (1.0 / head_dim**0.5), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+
+
 def _pick_tile_q(n_kv_pad: int) -> int:
     # keep the f32 score tiles (fwd: 2, bwd: ~4 live) well inside VMEM
     if n_kv_pad <= 1024:
@@ -196,11 +212,24 @@ def _bwd_pallas(q, k, v, do, interpret):
     return dq[:, :n_q], dk[:, :n_kv], dv[:, :n_kv]
 
 
-def _batch_dim_sharding(mesh, shape_with_sharding):
-    """Keep only the leading (batch*heads) component of an operand's
-    sharding; the kernel needs the sequence/feature dims whole."""
-    spec = shape_with_sharding.sharding.spec
-    return NamedSharding(mesh, PartitionSpec(spec[0] if len(spec) else None))
+def _batch_dim_sharding(mesh, arg_shapes):
+    """ONE batch-dim sharding for every operand and result.
+
+    custom_partitioning hands each operand's propagated sharding
+    independently, so q and k/v can arrive with DIFFERENT batch shardings
+    (e.g. q data-sharded, k/v still replicated).  Returning those verbatim
+    would make GSPMD reshard to exactly them and each chip would pair its
+    local q shard with the first shard's k/v rows — silently wrong.  Pick
+    the first operand whose batch dim is sharded and apply that spec to all
+    operands/results; GSPMD inserts the reshards to match.  Sequence and
+    feature dims stay whole (the kernel needs resident KV)."""
+    batch = None
+    for s in arg_shapes:
+        spec = s.sharding.spec
+        if len(spec) and spec[0] is not None:
+            batch = spec[0]
+            break
+    return NamedSharding(mesh, PartitionSpec(batch))
 
 
 @functools.lru_cache(maxsize=None)
@@ -212,12 +241,11 @@ def _fwd_op(interpret: bool):
         return impl(q, k, v)
 
     def partition(mesh, arg_shapes, result_shape):
-        out = _batch_dim_sharding(mesh, arg_shapes[0])
-        args = tuple(_batch_dim_sharding(mesh, s) for s in arg_shapes)
-        return mesh, impl, out, args
+        common = _batch_dim_sharding(mesh, arg_shapes)
+        return mesh, impl, common, (common,) * len(arg_shapes)
 
     def infer(mesh, arg_shapes, result_shape):
-        return _batch_dim_sharding(mesh, arg_shapes[0])
+        return _batch_dim_sharding(mesh, arg_shapes)
 
     fwd.def_partition(
         partition=partition,
@@ -239,12 +267,12 @@ def _bwd_op(interpret: bool):
         return impl(q, k, v, do)
 
     def partition(mesh, arg_shapes, result_shape):
-        args = tuple(_batch_dim_sharding(mesh, s) for s in arg_shapes)
-        outs = tuple(_batch_dim_sharding(mesh, s) for s in arg_shapes[:3])
-        return mesh, impl, outs, args
+        common = _batch_dim_sharding(mesh, arg_shapes)
+        return mesh, impl, (common,) * 3, (common,) * len(arg_shapes)
 
     def infer(mesh, arg_shapes, result_shape):
-        return tuple(_batch_dim_sharding(mesh, s) for s in arg_shapes[:3])
+        common = _batch_dim_sharding(mesh, arg_shapes)
+        return (common,) * 3
 
     bwd.def_partition(
         partition=partition,

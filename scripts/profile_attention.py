@@ -37,13 +37,10 @@ def main(smoke: bool = False):
 
     init_runtime()
 
-    from hiast_tpu.ops.pallas.attention import sra_attention
-
-    def einsum_attention(q, k, v):
-        head_dim = q.shape[-1]
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(attn * (1.0 / head_dim**0.5), axis=-1).astype(q.dtype)
-        return jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+    from hiast_tpu.ops.pallas.attention import (
+        sra_attention,
+        sra_attention_reference as einsum_attention,  # the production XLA path
+    )
 
     def sync(x):
         return float(np.asarray(jnp.sum(x).astype(jnp.float32)))
@@ -109,9 +106,18 @@ def main(smoke: bool = False):
             t_f = bench(one, q, k, v, tag)
 
             # fwd+bwd: chain grad-of-sum steps (dq feeds back as q; grads of a
-            # softmax mix are bounded like the values are)
+            # softmax mix are bounded like the values are).  Differentiate
+            # w.r.t. ALL of (q, k, v): grad-of-q-only would let XLA skip the
+            # einsum path's dK/dV matmuls (~half its backward) while the
+            # fused custom-VJP pallas_call always computes all three — a
+            # biased comparison.  dk/dv are folded in at 1e-30 (not 0.0,
+            # which XLA would constant-fold and then DCE the producers).
             def one_step(x, k, v, one=one):
-                return jax.grad(lambda xx: jnp.sum(one(xx, k, v).astype(jnp.float32) ** 2))(x)
+                dq, dk, dv = jax.grad(
+                    lambda xx, kk, vv: jnp.sum(one(xx, kk, vv).astype(jnp.float32) ** 2),
+                    argnums=(0, 1, 2),
+                )(x, k, v)
+                return dq + 1e-30 * (jnp.sum(dk) + jnp.sum(dv)).astype(dq.dtype)
 
             t_fb = bench(one_step, q, k, v, tag)
             results[f"{label}/{tag}"] = {"fwd_ms": round(t_f * 1e3, 3), "fwdbwd_ms": round(t_fb * 1e3, 3)}

@@ -14,16 +14,11 @@ import pytest
 
 from hiast_tpu.ops.pallas.attention import sra_attention
 
+# the production XLA path (models/segformer.py:EfficientAttention routes
+# through this exact function when fused=False) — the single reference copy
+from hiast_tpu.ops.pallas.attention import sra_attention_reference as einsum_attention
+
 RNG = np.random.default_rng(11)
-
-
-def einsum_attention(q, k, v):
-    """The XLA path from models/segformer.py:EfficientAttention, verbatim
-    math: f32 scores + softmax, compute-dtype P@V."""
-    head_dim = q.shape[-1]
-    attn = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-    attn = jax.nn.softmax(attn * (1.0 / head_dim**0.5), axis=-1).astype(q.dtype)
-    return jnp.einsum("bhqk,bkhd->bqhd", attn, v)
 
 
 def make_qkv(b, nq, nkv, h, d, dtype):
@@ -129,6 +124,33 @@ def test_sharded_batch_stays_sharded():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6, err_msg=name
         )
+
+
+def test_mismatched_operand_shardings_agree():
+    """custom_partitioning hands each operand's propagated sharding
+    independently: with q batch-sharded but k/v replicated the partition
+    rule must impose ONE common batch sharding (GSPMD reshards k/v to
+    match) — not pair every chip's q shard with the first shard's k/v."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    q, k, v = make_qkv(8, 256, 96, 2, 64, jnp.float32)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    sharded = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    want = np.asarray(jax.jit(lambda q, k, v: sra_attention(q, k, v, interpret=True))(q, k, v))
+
+    f = jax.jit(
+        lambda q, k, v: sra_attention(q, k, v, interpret=True),
+        in_shardings=(sharded, repl, repl),
+    )
+    np.testing.assert_allclose(np.asarray(f(q, k, v)), want, rtol=1e-6, atol=1e-6)
+
+    # and the flipped case: q replicated, k/v sharded
+    g = jax.jit(
+        lambda q, k, v: sra_attention(q, k, v, interpret=True),
+        in_shardings=(repl, sharded, sharded),
+    )
+    np.testing.assert_allclose(np.asarray(g(q, k, v)), want, rtol=1e-6, atol=1e-6)
 
 
 def test_segformer_fused_step_matches_einsum_step():
