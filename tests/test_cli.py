@@ -125,6 +125,43 @@ def test_micro_round_through_clis(fixture_root, tmp_path):
     assert (work_dir / "code.tar.gz").exists()
 
 
+def test_micro_round_through_clis_segformer(fixture_root, tmp_path):
+    """The transformer flagship through the SAME real CLIs: SegFormer in its
+    production train configuration (per-block remat + fused Pallas
+    attention, interpret-mode on CPU) driving pseudo-gen -> consistency
+    training.  Guards the full config->registry->kernel wiring, not just
+    the module-level parity tests."""
+    from hiast_tpu.cli import generate_pseudo_labels, train
+
+    overrides = [
+        "model.seg_model.type", "SegFormer_B0",
+        "runtime.remat", "True",
+        "runtime.remat_mode", "blocks",
+        "runtime.fused_attention", "True",
+    ]
+    cfg_file, setting_file = write_round_config(tmp_path, fixture_root)
+    work_dir = tmp_path / "log" / "sl_1"
+    pseudo_dir = work_dir / "pseudo_label" / "gray_label"
+
+    generate_pseudo_labels.main([
+        "--config_file", cfg_file,
+        "--pseudo_save_dir", str(pseudo_dir),
+        "pseudo_policy.num_hist_bins", "256",
+        *overrides,
+    ])
+    assert len(os.listdir(pseudo_dir)) == 4
+
+    train.main([
+        "--config_file", cfg_file,
+        "--setting_file", setting_file,
+        "--pseudo_save_dir", str(pseudo_dir),
+        "--work_dir", str(work_dir),
+        *overrides,
+    ])
+    ckpts = os.listdir(work_dir / "checkpoints")
+    assert "model_last" in ckpts and "ema_model_last" in ckpts
+
+
 def test_run_rounds_driver(fixture_root, tmp_path):
     """TWO full rounds through the run_rounds driver: pseudo-gen from a seed
     checkpoint -> consistency train -> next round from round 1's FULL-state
