@@ -32,16 +32,29 @@ def _chip_peak_flops() -> float | None:
     return chip_peak_flops()
 
 
-def _compiled_flops(jitted, *args) -> float | None:
-    """Per-execution FLOPs from XLA cost analysis (None if unavailable)."""
+def _compiled_flops(jitted, *args) -> tuple[float | None, float | None]:
+    """(per-execution FLOPs, peak HBM in GB) from the compiled program —
+    one lower+compile (a jit-cache hit after the timed run).  HBM =
+    temps + arguments + outputs: the quantity the remat modes trade
+    against step time.  Either element is None if unavailable."""
+    flops = hbm = None
     try:
-        ca = jitted.lower(*args).compile().cost_analysis()
+        compiled = jitted.lower(*args).compile()
+        ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        flops = float(ca.get("flops", float("nan")))
-        return flops if np.isfinite(flops) and flops > 0 else None
+        f = float(ca.get("flops", float("nan")))
+        flops = f if np.isfinite(f) and f > 0 else None
+        ma = compiled.memory_analysis()
+        total = (
+            float(ma.temp_size_in_bytes)
+            + float(ma.argument_size_in_bytes)
+            + float(ma.output_size_in_bytes)
+        )
+        hbm = total / 1e9 if total > 0 else None
     except Exception:  # noqa: BLE001 - optional diagnostics
-        return None
+        pass
+    return flops, hbm
 
 
 def bench_train_step(batch_size: int, iters: int = 20, seg_model: str = "DeepLab_V2",
@@ -115,10 +128,10 @@ def bench_train_step(batch_size: int, iters: int = 20, seg_model: str = "DeepLab
             _sync(losses["target_seg_loss"])
         best = min(best, (time.time() - t0) / iters)
 
-    flops = _compiled_flops(step, state, batch, key)
+    flops, hbm = _compiled_flops(step, state, batch, key)
     peak = _chip_peak_flops()
     mfu = (flops / best / peak) if (flops and peak) else None
-    return batch_size / best, best, mfu
+    return batch_size / best, best, mfu, hbm
 
 
 def bench_pseudo_gen(batch_size: int = 8, iters: int = 10):
@@ -188,7 +201,7 @@ def bench_pseudo_gen(batch_size: int = 8, iters: int = 10):
         np.asarray(prev[1])
         best = min(best, (time.time() - t0) / iters)
 
-    flops = _compiled_flops(gen_step, variables, images, state)
+    flops, _hbm = _compiled_flops(gen_step, variables, images, state)
     peak = _chip_peak_flops()
     mfu = (flops / best / peak) if (flops and peak) else None
     return batch_size / best, best, mfu
@@ -262,7 +275,7 @@ def main():
     train_ips = None
     for bs in (8, 4, 2):
         try:
-            train_ips, train_dt, train_mfu = _run_in_subprocess("bench_train_step", bs)
+            train_ips, train_dt, train_mfu, train_hbm = _run_in_subprocess("bench_train_step", bs)
             train_bs = bs
             break
         except Exception as e:  # noqa: BLE001 - fall back on OOM
@@ -283,10 +296,10 @@ def main():
     # stretch backbone (BASELINE.json): SegFormer MiT-B5 consistency step
     # with remat, same shapes — proves the transformer flagship is
     # train-ready at production size, not just unit-tested
-    sf_ips = sf_dt = sf_mfu = None
+    sf_ips = sf_dt = sf_mfu = sf_hbm = None
     for bs in (8, 4, 2):
         try:
-            sf_ips, sf_dt, sf_mfu = _run_in_subprocess(
+            sf_ips, sf_dt, sf_mfu, sf_hbm = _run_in_subprocess(
                 "bench_train_step", bs, 10, "SegFormer_B5", True
             )
             sf_bs = bs
@@ -307,6 +320,7 @@ def main():
                     "train_batch": train_bs,
                     "train_s_per_iter": round(train_dt, 4),
                     "train_mfu": round(train_mfu, 4) if train_mfu else None,
+                    "train_peak_hbm_gb": round(train_hbm, 2) if train_hbm else None,
                     "pseudo_gen_imgs_per_sec": round(pseudo_ips, 2),
                     "pseudo_gen_s_per_iter": round(pseudo_dt, 4),
                     "pseudo_gen_mfu": round(pseudo_mfu, 4) if pseudo_mfu else None,
@@ -315,6 +329,7 @@ def main():
                     "segformer_b5_imgs_per_sec": round(sf_ips, 2) if sf_ips else None,
                     "segformer_b5_batch": sf_bs if sf_ips else None,
                     "segformer_b5_mfu": round(sf_mfu, 4) if (sf_ips and sf_mfu) else None,
+                    "segformer_b5_peak_hbm_gb": round(sf_hbm, 2) if (sf_ips and sf_hbm) else None,
                     "mfu_note": "XLA cost-analysis FLOPs / wall time / chip bf16 peak; pseudo-gen includes tunnel D2H of label maps in wall time",
                     "baseline_note": "vs documented estimate of 5 imgs/s/GPU for the reference fp16 PyTorch loop",
                 },

@@ -45,13 +45,14 @@ def main():
     results = {}
     for label, remat, mode, batch, fused in VARIANTS:
         try:
-            ips, dt, mfu = run_one(remat, mode, batch, fused)
+            ips, dt, mfu, hbm = run_one(remat, mode, batch, fused)
             results[label] = {
                 "imgs_per_sec": round(ips, 2),
                 "s_per_iter": round(dt, 4),
                 "mfu": round(mfu, 4) if mfu else None,
+                "peak_hbm_gb": round(hbm, 2) if hbm else None,
             }
-            print(f"{label}: {ips:.2f} imgs/s  {dt:.4f} s/iter  mfu={mfu}")
+            print(f"{label}: {ips:.2f} imgs/s  {dt:.4f} s/iter  mfu={mfu}  hbm={hbm} GB")
         except Exception as e:  # noqa: BLE001 - OOM etc; record and continue
             results[label] = {"error": str(e)[-300:]}
             print(f"{label}: FAILED ({str(e)[-200:]})")

@@ -37,7 +37,7 @@ def timeit(fn, iters=10, windows=3):
 def flops_of(jitted, *args):
     from bench import _compiled_flops  # ONE copy of the cost-analysis idiom
 
-    return _compiled_flops(jitted, *args)
+    return _compiled_flops(jitted, *args)[0]  # (flops, hbm) -> flops
 
 
 def measure(report, tag, jitted, run, *flop_args):
