@@ -152,6 +152,51 @@ def test_segformer_spatially_sharded_forward_matches(eight_devices):
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+def test_segformer_fused_attention_sharded_step_matches(eight_devices):
+    """The production SegFormer config (per-block remat + fused Pallas
+    attention) through the FULL jitted self-training step on a data=8 mesh:
+    the custom_partitioning op runs inside nn.remat under GSPMD and must
+    reproduce the unsharded step (losses and updated params)."""
+    from tests.test_steps import init_state, make_batch, tiny_cfg
+    from hiast_tpu.models.segmentors import build_segmentor
+    from hiast_tpu.parallel.mesh import shard_batch
+    from hiast_tpu.registry import populate
+    from hiast_tpu.selftrain.steps import make_self_training_step
+
+    populate()
+    # SGD for the same reason as the spatial test: the param diff then IS
+    # the gradient diff, immune to Adam's first-step sign amplification.
+    cfg = tiny_cfg(**{
+        "model.seg_model.type": "SegFormer_B0",
+        "train.optimizer": "SGD",
+        "runtime.remat": True,
+        "runtime.remat_mode": "blocks",
+        "runtime.fused_attention": True,
+    })
+    segmentor = build_segmentor(cfg, dtype=jnp.float32)
+    state, tx, _ = init_state(cfg, segmentor)
+    step = jax.jit(make_self_training_step(segmentor, tx))
+    batch = make_batch(("t_img", "t_plbl"))
+    key = jax.random.PRNGKey(5)
+
+    want_state, want_losses = step(state, dict(batch), key)
+    mesh = make_mesh(cfg)
+    assert mesh.shape["data"] == 8, mesh.shape
+    got_state, got_losses = step(
+        replicate(mesh, state), shard_batch(mesh, dict(batch)), key
+    )
+
+    for k, v in want_losses.items():
+        assert abs(float(got_losses[k]) - float(v)) < 1e-4, (k, float(v))
+    k_ref = np.asarray(
+        want_state.params["backbone"]["block1_0"]["attn"]["q"]["kernel"]
+    )
+    k_got = np.asarray(
+        got_state.params["backbone"]["block1_0"]["attn"]["q"]["kernel"]
+    )
+    np.testing.assert_allclose(k_got, k_ref, atol=1e-6)
+
+
 def test_tensor_parallel_step_matches_data_parallel(eight_devices):
     """Full HIAST consistency step on a (data=4, model=2) mesh — parameters,
     EMA, and optimizer moments channel-sharded over 'model'
