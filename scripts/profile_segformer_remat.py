@@ -21,6 +21,7 @@ VARIANTS = [
     ("blocks_bs8", True, "blocks", 8, False),
     ("blocks_dots_bs8", True, "blocks_dots", 8, False),
     ("blocks_fusedattn_bs8", True, "blocks", 8, True),
+    ("blocks_dots_fusedattn_bs8", True, "blocks_dots", 8, True),
     ("no_remat_fusedattn_bs8", False, "full", 8, True),
 ]
 
