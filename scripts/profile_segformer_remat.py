@@ -33,8 +33,11 @@ def run_one(remat: bool, mode: str, batch: int, fused: bool = False):
         f"fused_attention={fused!r}); "
         "print('BENCH_RESULT ' + json.dumps(list(r)))"
     )
+    # fused variants compile up to 8 Mosaic kernels (4 stage shapes, fwd+bwd)
+    # at 100-350 s each through the tunnel on a cold cache — give the first
+    # run room; warm-cache reruns take minutes.
     out = subprocess.run(
-        [sys.executable, "-u", "-c", code], capture_output=True, text=True, timeout=1800
+        [sys.executable, "-u", "-c", code], capture_output=True, text=True, timeout=5400
     )
     for line in out.stdout.splitlines():
         if line.startswith("BENCH_RESULT "):

@@ -22,7 +22,7 @@ print("probe ok:", float(np.asarray((x @ x).sum())), f"{time.time()-t0:.1f}s")
 EOF
 
 echo "== remat/fused ablation (SegFormer B5) =="
-timeout 7200 python scripts/profile_segformer_remat.py 2>&1 | tee "$OUT/remat_ablation.log"
+timeout 14400 python scripts/profile_segformer_remat.py 2>&1 | tee "$OUT/remat_ablation.log"
 
 echo "== attention microbench =="
 timeout 3600 python scripts/profile_attention.py 2>&1 | tee "$OUT/attention_bench.log"
