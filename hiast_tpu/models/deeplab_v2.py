@@ -129,18 +129,18 @@ def build_seg_model(cfg, dtype=jnp.float32, backbone_layers=None):
         kwargs["remat"] = mode if (on and mode in ("blocks", "blocks_dots")) else "none"
         fused = getattr(cfg.runtime, "fused_attention", False)
         if fused:
-            # The fused kernel partitions over the batch dim only (dp); the
-            # 'model' and 'space' axes exist to SPLIT the dims the kernel
-            # must keep whole (heads / image rows), so combining them would
-            # re-gather per layer.  Fail loudly, not slowly.
-            for axis in ("model", "space"):
-                if getattr(cfg.runtime.mesh, axis, 1) not in (1, -1):
-                    raise ValueError(
-                        f"runtime.fused_attention requires runtime.mesh.{axis}"
-                        " == 1 (the Pallas attention kernel partitions over"
-                        " the batch dim only); use the default einsum"
-                        " attention with tensor/spatial parallelism"
-                    )
+            # The fused kernel partitions over the batch dim (dp) and the
+            # query-token dim (sp: rows shard, resident K/V replicate, dK/dV
+            # psum — ops/pallas/attention.py).  The 'model' axis would split
+            # heads, and stage 1 of every MiT variant has a single head, so
+            # there is nothing to split: fail loudly, not slowly.
+            if getattr(cfg.runtime.mesh, "model", 1) not in (1, -1):
+                raise ValueError(
+                    "runtime.fused_attention requires runtime.mesh.model"
+                    " == 1 (the Pallas attention kernel partitions over"
+                    " batch and query tokens, not heads); use the default"
+                    " einsum attention with tensor parallelism"
+                )
         kwargs["fused_attention"] = fused
     if backbone_layers is None and "backbone_layers" in cfg.model.seg_model:
         backbone_layers = cfg.model.seg_model.backbone_layers

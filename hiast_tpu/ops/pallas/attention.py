@@ -25,14 +25,26 @@ Pallas kernels — Mosaic has no CPU backend).
 
 Partitioning: a raw ``pallas_call`` is opaque to GSPMD/Shardy — inside a
 jit over a device mesh it would silently all-gather its operands and run
-the GLOBAL batch on every chip.  The op is per-(sample, head), so both
-kernels are wrapped in ``custom_partitioning`` with a batch-dim sharding
-rule: under a ``data``-sharded batch each chip runs only its local shard
-and the output sharding is preserved (tested on the 8-device CPU mesh).
-The sequence/feature dims are declared need-replication; tensor (``model``
-axis) and spatial (``space`` axis) parallelism would have to re-gather
-what those modes exist to split, so the builder rejects the combination
-loudly (models/deeplab_v2.py:build_seg_model).
+the GLOBAL batch on every chip.  Both kernels are wrapped in
+``custom_partitioning`` with two shardable dims:
+
+- **batch** (dim 0, the flattened B*heads): pure data parallelism — each
+  chip runs its local shard, no collectives.
+- **query tokens** (dim 1 of q/do/out): spatial parallelism — under
+  ``runtime.mesh.space`` the image rows (hence the flattened H*W query
+  tokens) are sharded, while K/V are small (<=512 tokens after spatial
+  reduction) and stay replicated, so the forward is still embarrassingly
+  parallel: each chip attends its local query tile against the full
+  resident K/V block.  Only the backward needs communication — the local
+  dK/dV partials are one ``psum`` over the query-sharding axes (inserted
+  inside the partition lower_fn; custom_partitioning lowers it with all
+  mesh axes manual, same as shard_map).
+
+The K/V token dim and the head dim are declared need-replication.  The
+``model`` axis would split heads — stage 1 of every MiT variant has a
+single head, so there is nothing to split; the builder rejects that
+combination loudly (models/deeplab_v2.py:build_seg_model) and the einsum
+path serves tensor-parallel meshes.
 
 Backward-precision note: dS is cast to the compute dtype before the dQ/dK
 matmuls (standard flash-attention practice — full-MXU-rate bf16 inputs);
@@ -212,8 +224,15 @@ def _bwd_pallas(q, k, v, do, interpret):
     return dq[:, :n_q], dk[:, :n_kv], dv[:, :n_kv]
 
 
-def _batch_dim_sharding(mesh, arg_shapes):
-    """ONE batch-dim sharding for every operand and result.
+def _part_axes(part):
+    """A PartitionSpec entry -> tuple of mesh axis names."""
+    if part is None:
+        return ()
+    return tuple(part) if isinstance(part, tuple) else (part,)
+
+
+def _common_shardings(mesh, arg_shapes, q_args):
+    """ONE (batch, query-token) sharding pair for every operand and result.
 
     custom_partitioning hands each operand's propagated sharding
     independently, so q and k/v can arrive with DIFFERENT batch shardings
@@ -221,15 +240,33 @@ def _batch_dim_sharding(mesh, arg_shapes):
     would make GSPMD reshard to exactly them and each chip would pair its
     local q shard with the first shard's k/v rows — silently wrong.  Pick
     the first operand whose batch dim is sharded and apply that spec to all
-    operands/results; GSPMD inserts the reshards to match.  Sequence and
-    feature dims stay whole (the kernel needs resident KV)."""
+    operands/results; GSPMD inserts the reshards to match.  The query-token
+    dim (dim 1 of the operands listed in ``q_args``) may additionally be
+    sharded (spatial parallelism); K/V token and feature dims stay whole
+    (the kernel needs resident KV).
+
+    Returns ``(q_sharding, kv_sharding, q_axes)`` where ``q_axes`` are the
+    mesh axes sharding the query-token dim (the backward psums dK/dV over
+    them)."""
     batch = None
     for s in arg_shapes:
         spec = s.sharding.spec
         if len(spec) and spec[0] is not None:
             batch = spec[0]
             break
-    return NamedSharding(mesh, PartitionSpec(batch))
+    qpart = None
+    for i in q_args:
+        spec = arg_shapes[i].sharding.spec
+        if len(spec) > 1 and spec[1] is not None:
+            qpart = spec[1]
+            break
+    # an axis cannot shard two dims at once: if propagation proposed the
+    # same axis for batch and query tokens, the batch sharding wins
+    q_axes = tuple(a for a in _part_axes(qpart) if a not in _part_axes(batch))
+    qpart = (q_axes if len(q_axes) > 1 else q_axes[0]) if q_axes else None
+    q_sharding = NamedSharding(mesh, PartitionSpec(batch, qpart))
+    kv_sharding = NamedSharding(mesh, PartitionSpec(batch))
+    return q_sharding, kv_sharding, q_axes
 
 
 @functools.lru_cache(maxsize=None)
@@ -241,19 +278,22 @@ def _fwd_op(interpret: bool):
         return impl(q, k, v)
 
     def partition(mesh, arg_shapes, result_shape):
-        common = _batch_dim_sharding(mesh, arg_shapes)
-        return mesh, impl, common, (common,) * len(arg_shapes)
+        qsh, kvsh, _ = _common_shardings(mesh, arg_shapes, q_args=(0,))
+        # forward is embarrassingly parallel over batch AND query tokens
+        # (resident K/V replicated): the local impl needs no collectives
+        return mesh, impl, qsh, (qsh, kvsh, kvsh)
 
     def infer(mesh, arg_shapes, result_shape):
-        return _batch_dim_sharding(mesh, arg_shapes)
+        return _common_shardings(mesh, arg_shapes, q_args=(0,))[0]
 
     fwd.def_partition(
         partition=partition,
         infer_sharding_from_operands=infer,
         # Shardy rule: factor order is first-appearance; need_replication
-        # must list factors in that (index) order
+        # must list factors in that (index) order.  'q' may shard (spatial
+        # parallelism); the K/V token and head dims must stay whole.
         sharding_rule="b q d, b k d, b k d -> b q d",
-        need_replication_factors=("q", "d", "k"),
+        need_replication_factors=("d", "k"),
     )
     return fwd
 
@@ -267,18 +307,29 @@ def _bwd_op(interpret: bool):
         return impl(q, k, v, do)
 
     def partition(mesh, arg_shapes, result_shape):
-        common = _batch_dim_sharding(mesh, arg_shapes)
-        return mesh, impl, (common,) * 3, (common,) * len(arg_shapes)
+        qsh, kvsh, q_axes = _common_shardings(mesh, arg_shapes, q_args=(0, 3))
+
+        def lower(q, k, v, do):
+            # dq is local to each query shard; each shard's dk/dv are the
+            # PARTIAL sums over its local query tokens — reduce over the
+            # query-sharding axes (manual axes here, like shard_map)
+            dq, dk, dv = impl(q, k, v, do)
+            if q_axes:
+                dk = jax.lax.psum(dk, q_axes)
+                dv = jax.lax.psum(dv, q_axes)
+            return dq, dk, dv
+
+        return mesh, lower, (qsh, kvsh, kvsh), (qsh, kvsh, kvsh, qsh)
 
     def infer(mesh, arg_shapes, result_shape):
-        common = _batch_dim_sharding(mesh, arg_shapes)
-        return (common,) * 3
+        qsh, kvsh, _ = _common_shardings(mesh, arg_shapes, q_args=(0, 3))
+        return (qsh, kvsh, kvsh)
 
     bwd.def_partition(
         partition=partition,
         infer_sharding_from_operands=infer,
         sharding_rule="b q d, b k d, b k d, b q d -> b q d, b k d, b k d",
-        need_replication_factors=("q", "d", "k"),
+        need_replication_factors=("d", "k"),
     )
     return bwd
 

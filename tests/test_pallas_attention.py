@@ -197,8 +197,10 @@ def test_fused_attention_composes_with_block_remat():
     )
 
 
-@pytest.mark.parametrize("axis", ["model", "space"])
-def test_fused_attention_rejects_tensor_and_spatial_parallelism(axis):
+def test_fused_attention_rejects_tensor_parallelism():
+    """'model' would split heads; MiT stage 1 has ONE head — nothing to
+    split, so the builder fails loudly.  'space' is supported (query-token
+    sharding, see test_query_dim_sharded_over_space)."""
     from hiast_tpu.config import default_config
     from hiast_tpu.models.deeplab_v2 import build_seg_model
     from hiast_tpu.registry import populate
@@ -207,6 +209,48 @@ def test_fused_attention_rejects_tensor_and_spatial_parallelism(axis):
     cfg = default_config()
     cfg.model.seg_model.type = "SegFormer_B0"
     cfg.runtime.fused_attention = True
-    setattr(cfg.runtime.mesh, axis, 2)
+    cfg.runtime.mesh.model = 2
     with pytest.raises(ValueError, match="fused_attention"):
         build_seg_model(cfg)
+
+    cfg.runtime.mesh.model = 1
+    cfg.runtime.mesh.space = 2
+    build_seg_model(cfg)  # spatial parallelism is supported
+
+
+def test_query_dim_sharded_over_space():
+    """Spatial parallelism: query tokens sharded over 'space' (image rows),
+    K/V replicated.  Forward must stay per-shard (output keeps the query
+    sharding); backward must psum the partial dK/dV over 'space' so the
+    gradients equal the unsharded run."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    q, k, v = make_qkv(4, 512, 96, 2, 64, jnp.float32)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("data", "space"))
+    # [B, N, H, D]: batch over 'data', tokens over 'space'; K/V batch-only
+    qsh = NamedSharding(mesh, P("data", "space"))
+    kvsh = NamedSharding(mesh, P("data"))
+    qs = jax.device_put(q, qsh)
+    ks, vs = jax.device_put(k, kvsh), jax.device_put(v, kvsh)
+
+    f = jax.jit(lambda q, k, v: sra_attention(q, k, v, interpret=True))
+    out = f(qs, ks, vs)
+    # the flat op sees [B*H, N, D]; jit's output here is [B, N, H, D] with
+    # tokens on dim 1 — assert tokens stayed sharded over 'space'
+    assert out.sharding.spec[1] == "space", out.sharding
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(f(q, k, v)), rtol=1e-6, atol=1e-6
+    )
+
+    w = jnp.asarray(RNG.normal(size=q.shape).astype(np.float32))
+
+    def loss(q, k, v):
+        return jnp.sum(sra_attention(q, k, v, interpret=True) * w)
+
+    g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+    gs = g(qs, ks, vs)
+    gr = g(q, k, v)
+    for a, b, name in zip(gs, gr, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5, err_msg=name
+        )
