@@ -263,6 +263,21 @@ def _common_shardings(mesh, arg_shapes, q_args):
     # an axis cannot shard two dims at once: if propagation proposed the
     # same axis for batch and query tokens, the batch sharding wins
     q_axes = tuple(a for a in _part_axes(qpart) if a not in _part_axes(batch))
+    if q_axes:
+        n_shards = 1
+        for a in q_axes:
+            n_shards *= mesh.shape[a]
+        n_q = arg_shapes[q_args[0]].shape[1]
+        if n_q % n_shards:
+            raise ValueError(
+                f"fused SRA attention: the query-token dim ({n_q} tokens)"
+                f" must divide evenly by the spatial sharding"
+                f" ({n_shards} shards over mesh axes {q_axes}). Every"
+                " attention stage's H*W must be divisible by mesh.space —"
+                " pick a crop size whose smallest stage grid (H/32 x W/32"
+                " for MiT trunks) is a multiple of mesh.space, or use the"
+                " einsum attention path."
+            )
     qpart = (q_axes if len(q_axes) > 1 else q_axes[0]) if q_axes else None
     q_sharding = NamedSharding(mesh, PartitionSpec(batch, qpart))
     kv_sharding = NamedSharding(mesh, PartitionSpec(batch))
@@ -358,6 +373,13 @@ def sra_attention(q, k, v, interpret: bool | None = None):
     q: [B, N_q, H, D]; k, v: [B, N_kv, H, D] with N_kv small enough that the
     padded K/V block (rounded up to 128 rows) fits VMEM. Returns
     [B, N_q, H, D] in q's dtype. Differentiable (custom flash-style VJP).
+
+    Spatial parallelism: when the query-token dim is sharded over mesh axes
+    (``runtime.mesh.space``), N_q must divide evenly by the product of those
+    axis sizes — for MiT trunks that means every stage's H*W token count,
+    so the smallest stage grid (H/32 x W/32) must be a multiple of
+    mesh.space. Uneven shards fail at partition time with a clear error
+    (``_common_shardings``).
     """
     if interpret is None:  # Mosaic has no CPU backend; tests interpret
         interpret = jax.default_backend() == "cpu"

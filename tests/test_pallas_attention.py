@@ -254,3 +254,34 @@ def test_query_dim_sharded_over_space():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5, err_msg=name
         )
+
+
+def test_uneven_query_shard_fails_loudly():
+    """ADVICE r3: an N_q that does not divide by the spatial sharding must
+    surface the clear builder-facing message, not an opaque XLA error.
+    Exercised at the partition-callback level: a direct device_put of an
+    uneven sharding is already rejected by JAX upstream, but GSPMD
+    propagation inside a program can still propose one."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from hiast_tpu.ops.pallas import attention as A
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("data", "space"))
+
+    class FakeArg:
+        def __init__(self, shape, spec):
+            self.shape = shape
+            self.sharding = NamedSharding(mesh, spec)
+
+    args = [
+        FakeArg((2, 510, 64), P("data", "space")),  # 510 % 4 != 0
+        FakeArg((2, 96, 64), P("data")),
+        FakeArg((2, 96, 64), P("data")),
+    ]
+    with pytest.raises(ValueError, match="divide evenly"):
+        A._common_shardings(mesh, args, q_args=(0,))
+
+    # and the even case still returns the query-token sharding
+    args[0] = FakeArg((2, 512, 64), P("data", "space"))
+    qsh, kvsh, q_axes = A._common_shardings(mesh, args, q_args=(0,))
+    assert q_axes == ("space",)
