@@ -234,8 +234,11 @@ def default_config() -> ConfigNode:
                 "remat": False,
                 # how to remat when enabled: 'full' (whole trunk) | 'dots'
                 # (save matmul outputs, recompute elementwise) | 'blocks' /
-                # 'blocks_dots' (per-transformer-block; lowest peak HBM on
-                # SegFormer trunks — falls back to 'full' elsewhere)
+                # 'blocks_dots' (per-transformer-block — fall back to 'full'
+                # on non-transformer trunks).  Measured on MiT-B5 512x1024
+                # batch 8 (PERF.md round-4 ablation): 'blocks' has the
+                # lowest peak HBM (9.2 GB vs 17.0 full / 13.8 blocks_dots)
+                # AND the fastest remat step; pair with fused_attention.
                 "remat_mode": "full",
                 # fused flash-style Pallas attention for SegFormer trunks
                 # (ops/pallas/attention.py): the [N_q, N_kv] score matrix
