@@ -27,7 +27,13 @@ timeout 14400 python scripts/profile_segformer_remat.py 2>&1 | tee "$OUT/remat_a
 echo "== attention microbench =="
 timeout 3600 python scripts/profile_attention.py 2>&1 | tee "$OUT/attention_bench.log"
 
-echo "== bench.py =="
+echo "== protocol micro-validates (Oxford 9-class, SYNTHIA 16/13) =="
+timeout 1800 python scripts/validate_protocols_tpu.py 2>&1 | tee "$OUT/protocols.log"
+
+echo "== e2e rounds: SegFormer (fused attention + block remat) =="
+timeout 3600 python scripts/e2e_rounds_tpu.py --seg_model SegFormer_B0 2>&1 | tee "$OUT/e2e_segformer.log"
+
+echo "== bench.py (self-budgeted: BENCH_BUDGET_S, default 900 s) =="
 timeout 3600 python bench.py 2>&1 | tee "$OUT/bench.log"
 
 echo "DONE — results in $OUT"
