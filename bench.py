@@ -35,6 +35,21 @@ def _sync(x) -> float:
     return float(np.asarray(x).ravel()[0])
 
 
+def _t_end(deadline: float | None) -> float | None:
+    """Convert a relative per-stage deadline (seconds from now) to absolute."""
+    return (time.time() + deadline) if deadline else None
+
+
+def _past(t_end: float | None) -> bool:
+    """COOPERATIVE deadline check. Benchmark children stop launching device
+    programs past their deadline and return the best-so-far measurement
+    instead of being killed by the parent: SIGKILLing a client mid-device-
+    program wedges the shared TPU tunnel for many minutes (measured: a
+    452 s trivial-matmul probe after one such kill), poisoning every later
+    stage. The parent's hard kill is a last resort for true hangs only."""
+    return t_end is not None and time.time() > t_end
+
+
 def _chip_peak_flops() -> float | None:
     from hiast_tpu.runtime_init import chip_peak_flops
 
@@ -68,7 +83,8 @@ def _compiled_flops(jitted, *args) -> tuple[float | None, float | None]:
 
 def bench_train_step(batch_size: int, iters: int = 20, seg_model: str = "DeepLab_V2",
                      remat: bool = False, remat_mode: str = "full",
-                     fused_attention: bool = False):
+                     fused_attention: bool = False, deadline: float | None = None):
+    t_end = _t_end(deadline)
     import jax
     import jax.numpy as jnp
 
@@ -97,14 +113,16 @@ def bench_train_step(batch_size: int, iters: int = 20, seg_model: str = "DeepLab
 
     segmentor = build_segmentor(cfg, dtype=jnp.bfloat16)
     h, w = 512, 1024
-    variables = segmentor.init_variables(jax.random.PRNGKey(0), (1, h, w, 3))
+    variables = segmentor.init_variables(jax.random.PRNGKey(0))
     tx = make_optimizer(cfg, variables["params"])
+    # jit the tree-wide init programs: eager per-leaf dispatch costs tens of
+    # seconds through the tunnel's ~25 ms roundtrip on 1000+-leaf trees
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params=variables["params"],
         batch_stats=variables["batch_stats"],
-        opt_state=tx.init(variables["params"]),
-        ema_params=jax.tree.map(jnp.copy, variables["params"]),
+        opt_state=jax.jit(tx.init)(variables["params"]),
+        ema_params=jax.jit(lambda p: jax.tree.map(jnp.copy, p))(variables["params"]),
     )
     rng = np.random.default_rng(0)
     batch = {
@@ -129,8 +147,11 @@ def bench_train_step(batch_size: int, iters: int = 20, seg_model: str = "DeepLab
     # fetch the loss every iteration (the training loop does — recorder);
     # un-fetched outputs queue pathologically on the tunneled platform.
     # best-of-3 windows: the shared tunnel has large transient slowdowns.
+    # Windows past the first respect the cooperative deadline (_past).
     best = float("inf")
     for _window in range(3):
+        if best < float("inf") and _past(t_end):
+            break
         t0 = time.time()
         for _ in range(iters):
             state, losses = step(state, batch, key)
@@ -145,27 +166,33 @@ def bench_train_step(batch_size: int, iters: int = 20, seg_model: str = "DeepLab
 
 def bench_train_step_auto(batches=(8, 4, 2), iters: int = 20, seg_model: str = "DeepLab_V2",
                           remat: bool = False, remat_mode: str = "full",
-                          fused_attention: bool = False):
+                          fused_attention: bool = False, deadline: float | None = None):
     """Like bench_train_step, but steps down the batch-size ladder INSIDE
     one process: each candidate is rejected by a failed AOT compile (TPU
     OOM is a compile-time error — allocation is static), not by burning a
     whole subprocess + re-init per size (VERDICT r3 #8).  Returns
     bench_train_step's tuple plus the chosen batch."""
+    t_end = _t_end(deadline)
     last = None
     for bs in batches:
         try:
+            rem = (t_end - time.time()) if t_end else None
             ips, dt, mfu, hbm = bench_train_step(
-                bs, iters, seg_model, remat, remat_mode, fused_attention
+                bs, iters, seg_model, remat, remat_mode, fused_attention,
+                deadline=rem,
             )
             return ips, dt, mfu, hbm, bs
         except Exception as e:  # noqa: BLE001 - OOM at compile; step down
             last = e
             if "RESOURCE_EXHAUSTED" not in str(e) and "memory" not in str(e).lower():
                 raise
+            if _past(t_end):
+                raise
     raise last
 
 
-def bench_pseudo_gen(batch_size: int = 8, iters: int = 10):
+def bench_pseudo_gen(batch_size: int = 8, iters: int = 10, deadline: float | None = None):
+    t_end = _t_end(deadline)
     import jax
     import jax.numpy as jnp
 
@@ -184,7 +211,7 @@ def bench_pseudo_gen(batch_size: int = 8, iters: int = 10):
     cfg.model.type = "SelfTrainingSegmentor"
     segmentor = build_segmentor(cfg, dtype=jnp.bfloat16)
     h, w = 768, 1536
-    variables = segmentor.init_variables(jax.random.PRNGKey(0), (1, h, w, 3))
+    variables = segmentor.init_variables(jax.random.PRNGKey(0))
     variables = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
 
     from hiast_tpu.ops.resize import bilinear_resize
@@ -220,6 +247,8 @@ def bench_pseudo_gen(batch_size: int = 8, iters: int = 10):
     # D2H dominates here and the tunnel's bandwidth swings 15-50 MB/s).
     best = float("inf")
     for _window in range(5):
+        if best < float("inf") and _past(t_end):
+            break
         t0 = time.time()
         prev = None
         for _ in range(iters):
@@ -237,6 +266,8 @@ def bench_pseudo_gen(batch_size: int = 8, iters: int = 10):
     # (PCIe D2H is <1 ms; the tunnel's 15-50 MB/s is this box's artifact).
     best_compute = float("inf")
     for _window in range(3):
+        if best_compute < float("inf") and _past(t_end):
+            break
         t0 = time.time()
         for _ in range(iters):
             plbl, counts, state = gen_step(variables, images, state)
@@ -250,10 +281,12 @@ def bench_pseudo_gen(batch_size: int = 8, iters: int = 10):
     return batch_size / best, best, mfu, batch_size / best_compute, mfu_compute
 
 
-def bench_eval(batch_size: int = 8, iters: int = 20):
+def bench_eval(batch_size: int = 8, iters: int = 20, deadline: float | None = None):
     """Validation/serving forward at the reference eval size (768x1536,
     single scale, no flip — configs/validate.yaml): throughput at
-    ``batch_size`` plus batch-1 latency (the serving-relevant number)."""
+    ``batch_size`` plus batch-1 latency (the serving-relevant number).
+    Past the deadline, the batch-1 phase is skipped (latency = None)."""
+    t_end = _t_end(deadline)
     import jax
     import jax.numpy as jnp
 
@@ -271,7 +304,7 @@ def bench_eval(batch_size: int = 8, iters: int = 20):
     cfg.model.type = "SelfTrainingSegmentor"
     segmentor = build_segmentor(cfg, dtype=jnp.bfloat16)
     h, w = 768, 1536
-    v = segmentor.init_variables(jax.random.PRNGKey(0), (1, h, w, 3))
+    v = segmentor.init_variables(jax.random.PRNGKey(0))
     variables = {"params": v["params"], "batch_stats": v["batch_stats"]}
     fwd = jax.jit(make_eval_forward(segmentor))
     rng = np.random.default_rng(0)
@@ -282,6 +315,8 @@ def bench_eval(batch_size: int = 8, iters: int = 20):
         _sync(out[0, 0, 0, 0])
         best = float("inf")
         for _ in range(3):
+            if best < float("inf") and _past(t_end):
+                break
             t0 = time.time()
             for _ in range(n):
                 out = fwd(variables["params"], variables["batch_stats"], imgs)
@@ -290,8 +325,15 @@ def bench_eval(batch_size: int = 8, iters: int = 20):
         return best
 
     dt_batch = run(batch_size, iters)
-    dt_one = run(1, iters)
+    dt_one = run(1, iters) if not _past(t_end) else None
     return batch_size / dt_batch, dt_batch, dt_one
+
+
+def _echo_deadline_for_test(*args, **kwargs):
+    """Test hook (tests/test_bench_budget.py): echoes the subprocess-call
+    protocol so the cooperative-deadline plumbing is testable without a
+    device. Costs nothing in production."""
+    return list(args), kwargs
 
 
 _CHILD = {"proc": None}
@@ -300,11 +342,20 @@ _CHILD = {"proc": None}
 def _run_in_subprocess(fn_name: str, timeout: float, *args, **kwargs):
     """Each benchmark in its own process: the train step's donated HBM
     buffers and jit cache otherwise degrade the pseudo-gen measurement.
+
     ``timeout`` is supplied by the caller from the REMAINING global budget
-    (never a fixed per-stage constant — that is what lost round 3)."""
+    (never a fixed per-stage constant — that is what lost round 3). It is
+    forwarded to the child as a COOPERATIVE ``deadline=`` kwarg: the child
+    stops launching device programs past it and returns best-so-far.  The
+    parent-side kill only fires after a further grace window — killing a
+    client mid-device-program wedges the shared tunnel for many minutes
+    and poisons every later stage (see _past)."""
     import subprocess
     import sys
 
+    import tempfile
+
+    kwargs = dict(kwargs, deadline=round(max(timeout, 1.0), 1))
     kw = ", ".join(f"{k}={v!r}" for k, v in kwargs.items())
     call = ", ".join(filter(None, [", ".join(map(repr, args)), kw]))
     code = (
@@ -312,23 +363,42 @@ def _run_in_subprocess(fn_name: str, timeout: float, *args, **kwargs):
         f"r = bench.{fn_name}({call}); "
         "print('BENCH_RESULT ' + json.dumps(list(r)))"
     )
+    # stdout/stderr to files, not pipes: an abandoned child must never block
+    # on a full pipe or die of SIGPIPE mid-device-program after we move on.
+    out_f = tempfile.NamedTemporaryFile(
+        mode="w+", suffix=f".{fn_name}.log", delete=False
+    )
     proc = subprocess.Popen(
         [sys.executable, "-u", "-c", code],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        stdout=out_f, stderr=subprocess.STDOUT, text=True,
     )
     _CHILD["proc"] = proc
     try:
-        stdout, stderr = proc.communicate(timeout=max(timeout, 1.0))
+        # grace beyond the cooperative deadline: one program load + window
+        proc.wait(timeout=max(timeout, 1.0) + 120.0)
     except subprocess.TimeoutExpired:
-        proc.kill()
-        proc.communicate()
-        raise RuntimeError(f"{fn_name} hit the budget deadline ({timeout:.0f}s)")
+        # Do NOT kill: SIGKILLing a client mid-device-program wedges the
+        # shared TPU tunnel for many minutes (measured, PERF.md) and poisons
+        # every later stage. The child's deadline has passed, so it will
+        # stop after its in-flight program + one window and exit by itself.
+        raise RuntimeError(
+            f"{fn_name} exceeded deadline+grace ({timeout:.0f}+120s) — "
+            f"abandoned to finish in background (pid {proc.pid}); "
+            "not killed: a mid-program kill wedges the TPU tunnel"
+        )
     finally:
         _CHILD["proc"] = None
+    out_f.seek(0)
+    stdout = out_f.read()
+    out_f.close()
     for line in stdout.splitlines():
         if line.startswith("BENCH_RESULT "):
+            import os
+
+            os.unlink(out_f.name)
             return json.loads(line[len("BENCH_RESULT "):])
-    raise RuntimeError(f"{fn_name} failed:\n{stdout[-2000:]}\n{stderr[-2000:]}")
+    # keep the log file for diagnosis on failure
+    raise RuntimeError(f"{fn_name} failed (log: {out_f.name}):\n{stdout[-4000:]}")
 
 
 class _Budget:
@@ -376,9 +446,9 @@ def _on_deadline(signum, frame):  # pragma: no cover - signal path
     import sys
 
     print(f"bench: signal {signum} — emitting partial results", file=sys.stderr)
-    proc = _CHILD["proc"]
-    if proc is not None:
-        proc.kill()
+    # deliberately do NOT kill a running child (see _run_in_subprocess):
+    # it stops cooperatively at its deadline; orphaning it is safe, killing
+    # it mid-device-program wedges the TPU tunnel for the next client.
     _REPORT["details"]["truncated_by_signal"] = signum
     _emit_json()
     sys.stdout.flush()
@@ -394,7 +464,8 @@ def main():
     budget = _Budget(float(os.environ.get("BENCH_BUDGET_S", "900")))
     signal.signal(signal.SIGTERM, _on_deadline)
     signal.signal(signal.SIGALRM, _on_deadline)
-    signal.alarm(int(budget.total) + 30)  # deadman: budget + fetch slack
+    # deadman: budget + the last stage's cooperative-deadline grace window
+    signal.alarm(int(budget.total) + 180)
 
     try:
         _main_stages(budget)
@@ -501,7 +572,7 @@ def _main_stages(budget):
                 )
             d.update(
                 eval_imgs_per_sec_768x1536=round(eval_ips, 2),
-                eval_batch1_latency_s=round(eval_dt1, 4),
+                eval_batch1_latency_s=round(eval_dt1, 4) if eval_dt1 else None,
             )
         except Exception as e:  # noqa: BLE001
             print(f"bench_eval failed (metric omitted): {e}", file=sys.stderr)

@@ -31,9 +31,23 @@ class BaseSegmentor:
 
     # -- init / forward ------------------------------------------------------
     def init_variables(self, rng, input_shape=(1, 65, 65, 3)):
-        return self.module.init(
-            rng, jnp.zeros(input_shape, self.dtype), train=False, return_representation=True
-        )
+        """Initialize params/batch_stats under ONE jit program.
+
+        Un-jitted flax init dispatches thousands of tiny eager device ops —
+        ~4 min for MiT-B5 through the tunneled TPU's ~25 ms roundtrip
+        (measured, PERF.md round 4); jitted it is one cached program. No
+        parameter here depends on the input spatial size (convs/dense/LN/BN
+        only — no positional embeddings), so the small default shape yields
+        bit-identical variables to a full-resolution init."""
+        import jax
+
+        def _init(rng):
+            return self.module.init(
+                rng, jnp.zeros(input_shape, self.dtype), train=False,
+                return_representation=True,
+            )
+
+        return jax.jit(_init)(rng)
 
     def raw_apply(self, variables, img, train: bool = False, mutable=False):
         """module.apply with optional gradient rematerialization

@@ -91,9 +91,11 @@ class BaseTrainer:
         self.segmentor = build_segmentor(
             cfg, dtype=self._compute_dtype(), backbone_layers=self.backbone_layers
         )
-        ch, cw = cfg.dataset.crop_size
+        # small default init shape: no parameter depends on input spatial
+        # size, and a full-crop un-jitted init costs minutes on the
+        # tunneled TPU (see Segmentor.init_variables)
         variables = self.segmentor.init_variables(
-            jax.random.PRNGKey(cfg.train.random_seed), (1, ch, cw, 3)
+            jax.random.PRNGKey(cfg.train.random_seed)
         )
         variables = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
         # ImageNet (or other) backbone init, applied BEFORE any resume so a
@@ -118,7 +120,7 @@ class BaseTrainer:
             step=jnp.zeros((), jnp.int32),
             params=variables["params"],
             batch_stats=variables["batch_stats"],
-            opt_state=self.tx.init(variables["params"]),
+            opt_state=jax.jit(self.tx.init)(variables["params"]),
         )
         self.d_tx = None
         state_kwargs.update(self.extra_state(variables))
@@ -408,7 +410,7 @@ class ConsistencySelfTrainingTrainer(SelfTrainingTrainer):
         ), f"unknown preprocessor {self.cfg.preprocessor.type!r}"
 
     def extra_state(self, variables):
-        return {"ema_params": jax.tree.map(jnp.copy, variables["params"])}
+        return {"ema_params": jax.jit(lambda p: jax.tree.map(jnp.copy, p))(variables["params"])}
 
     def build_all_model(self):
         super().build_all_model()
@@ -528,9 +530,8 @@ class MutualLearningTrainer(SelfTrainingTrainer):
 
     def extra_state(self, variables):
         cfg = self.cfg
-        ch, cw = cfg.dataset.crop_size
         peer = self.segmentor.init_variables(
-            jax.random.PRNGKey(cfg.train.random_seed + 13), (1, ch, cw, 3)
+            jax.random.PRNGKey(cfg.train.random_seed + 13)
         )
         peer = {"params": peer["params"], "batch_stats": peer["batch_stats"]}
         if cfg.mut_training.resume_from:
@@ -539,7 +540,7 @@ class MutualLearningTrainer(SelfTrainingTrainer):
         return {
             "peer_params": peer["params"],
             "peer_batch_stats": peer["batch_stats"],
-            "peer_opt_state": self.tx.init(peer["params"]),
+            "peer_opt_state": jax.jit(self.tx.init)(peer["params"]),
         }
 
     def build_all_model(self):

@@ -47,7 +47,7 @@ def main(batch_size=4, h=768, w=1536):
     cfg = default_config()
     cfg.model.type = "SelfTrainingSegmentor"
     segmentor = build_segmentor(cfg, dtype=jnp.bfloat16)
-    variables = segmentor.init_variables(jax.random.PRNGKey(0), (1, h, w, 3))
+    variables = segmentor.init_variables(jax.random.PRNGKey(0))
     variables = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
 
     @jax.jit

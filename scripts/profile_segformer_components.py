@@ -1,0 +1,193 @@
+"""Attribute the SegFormer MiT-B5 consistency-step cost to components on
+the real TPU: full step vs fwd+bwd core vs forward, trunk vs decode head,
+and the Mix-FFN depthwise conv in isolation — at the round-4 production
+settings (fused Pallas SRA attention, no remat, bf16, batch 8, 512x1024).
+
+The round-4 ablation (PERF.md) got the step to 0.367 s/iter, 24.5%
+model-MFU; this script answers "where do the other 75% go" so the next
+optimization targets the real hotspot instead of a guess.
+
+Run from the repo root:  python scripts/profile_segformer_components.py
+(one TPU process at a time; ~10 min warm)
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scripts.profile_train import flops_of, sync, timeit  # noqa: E402
+
+
+def measure(report, tag, jitted, run, *flop_args, iters=10):
+    from hiast_tpu.runtime_init import chip_peak_flops
+
+    try:
+        dt = timeit(run, iters=iters)
+    except Exception as e:  # noqa: BLE001 - keep profiling the rest
+        report[tag] = f"FAILED: {str(e)[-160:]}"
+        return
+    report[tag] = dt
+    flops = flops_of(jitted, *flop_args)
+    peak = chip_peak_flops()
+    if flops and peak:
+        report[f"{tag}_mfu"] = flops / dt / peak
+        report[f"{tag}_gflops"] = flops / 1e9
+    print(f"  {tag}: {dt*1e3:.1f} ms" , flush=True)
+
+
+def main(batch_size=8, h=512, w=1024, variant="B5"):
+    import jax
+    import jax.numpy as jnp
+
+    from hiast_tpu.runtime_init import init_runtime
+
+    init_runtime()
+
+    from hiast_tpu.config import default_config
+    from hiast_tpu.models import segformer as SF
+    from hiast_tpu.models.segmentors import build_segmentor
+    from hiast_tpu.registry import populate
+    from hiast_tpu.selftrain import steps as S
+    from hiast_tpu.selftrain.train_state import TrainState, make_optimizer
+
+    populate()
+    report = {"batch": batch_size, "hw": [h, w], "variant": variant}
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.integers(0, 255, size=(batch_size, h, w, 3), dtype=np.uint8))
+    batch = {
+        "t_img": img,
+        "t_plbl": jnp.asarray(
+            np.where(
+                rng.random(size=(batch_size, h, w)) < 0.4,
+                255,
+                rng.integers(0, 19, size=(batch_size, h, w)),
+            ).astype(np.int32)
+        ),
+    }
+    key = jax.random.PRNGKey(1)
+
+    cfg = default_config()
+    cfg.model.type = "SelfTrainingSegmentor"
+    cfg.model.seg_model.type = f"SegFormer_{variant}"
+    cfg.cst_training.is_enabled = True
+    cfg.cst_training.cst_loss.weight = 0.5
+    cfg.train.batch_size = batch_size
+    cfg.train.lr = 3e-6
+    cfg.train.total_iter = 8000
+    cfg.runtime.fused_attention = True
+    segmentor = build_segmentor(cfg, dtype=jnp.bfloat16)
+    variables = segmentor.init_variables(jax.random.PRNGKey(0))
+    tx = make_optimizer(cfg, variables["params"])
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        ema_params=jax.tree.map(jnp.copy, variables["params"]),
+    )
+
+    # 1) full consistency step (the bench number)
+    step_full = jax.jit(S.make_consistency_step(segmentor, tx, strong_aug="CCA"))
+    measure(report, "consistency_step", step_full,
+            lambda: sync(step_full(state, batch, key)[1]["target_seg_loss"]),
+            state, batch, key)
+
+    # 2) student fwd+bwd+update only (no teacher fwd, no CCA): the training core
+    step_st = jax.jit(S.make_self_training_step(segmentor, tx))
+    measure(report, "self_training_step", step_st,
+            lambda: sync(step_st(state, batch, key)[1]["target_seg_loss"]),
+            state, batch, key)
+
+    # 3) eval forward (the teacher-pass / pseudo-gen cost)
+    fwd = jax.jit(S.make_eval_forward(segmentor))
+    measure(report, "fwd_full_model", fwd,
+            lambda: sync(fwd(state.params, state.batch_stats, img)[0, 0, 0, 0]),
+            state.params, state.batch_stats, img)
+
+    # 4/5) trunk-only vs decode-head-only, forward (fresh bare modules: same
+    # architecture/shapes as inside the segmentor, so the timing attributes)
+    embed_dims, depths = SF.VARIANTS[variant]
+    trunk = SF.MixTransformer(embed_dims, depths, dtype=jnp.bfloat16, fused_attention=True)
+    x0 = (img.astype(jnp.bfloat16) / 255.0) - 0.5
+    tvars = jax.jit(trunk.init, static_argnames=("train",))(jax.random.PRNGKey(0), x0[:1], train=False)
+
+    @jax.jit
+    def trunk_fwd(tvars, x):
+        return trunk.apply(tvars, x, train=False)[-1]
+
+    measure(report, "fwd_trunk_only", trunk_fwd,
+            lambda: sync(trunk_fwd(tvars, x0)[0, 0, 0, 0]), tvars, x0)
+
+    head_dim = 256 if variant in ("B0",) else 768
+    head = SF.SegFormerHead(19, embed_dim=head_dim, dtype=jnp.bfloat16)
+    feats = [
+        jnp.zeros((batch_size, h // s, w // s, c), jnp.bfloat16)
+        for s, c in zip((4, 8, 16, 32), embed_dims)
+    ]
+    hvars = head.init(jax.random.PRNGKey(0), [f[:1] for f in feats], train=False)
+
+    @jax.jit
+    def head_fwd(hvars, feats):
+        return head.apply(hvars, feats, train=False)
+
+    measure(report, "fwd_head_only", head_fwd,
+            lambda: sync(head_fwd(hvars, feats)[0, 0, 0, 0]), hvars, feats)
+
+    # 6) trunk fwd+bwd (where remat/attention live)
+    @jax.jit
+    def trunk_fwdbwd(tvars, x):
+        def loss(v):
+            return trunk.apply(v, x, train=False)[-1].astype(jnp.float32).mean()
+
+        l, g = jax.value_and_grad(loss)(tvars)
+        return l
+
+    measure(report, "fwdbwd_trunk_only", trunk_fwdbwd,
+            lambda: sync(trunk_fwdbwd(tvars, x0)), tvars, x0)
+
+    # 7) the Mix-FFN depthwise 3x3 in isolation at the stage-3 shape (40 of
+    # B5's 52 blocks): is XLA's TPU depthwise lowering a bottleneck?
+    s3_tokens = (h // 16, w // 16)
+    dim3 = embed_dims[2] * 4  # ffn hidden
+    y3 = jnp.zeros((batch_size, *s3_tokens, dim3), jnp.bfloat16)
+    import flax.linen as nn
+
+    dw = nn.Conv(dim3, (3, 3), padding=((1, 1), (1, 1)), feature_group_count=dim3,
+                 dtype=jnp.bfloat16)
+    dvars = dw.init(jax.random.PRNGKey(0), y3[:1])
+
+    @jax.jit
+    def dw_fwd(dvars, y):
+        # chain 8 deep: a single dwconv is too fast for the ~25 ms sync cost
+        for _ in range(8):
+            y = dw.apply(dvars, y)
+        return y
+
+    measure(report, "dwconv_stage3_x8", dw_fwd,
+            lambda: sync(dw_fwd(dvars, y3)[0, 0, 0, 0]), dvars, y3)
+
+    dense = nn.Dense(dim3, dtype=jnp.bfloat16)
+    nvars = dense.init(jax.random.PRNGKey(0), y3[:1])
+
+    @jax.jit
+    def dense_fwd(nvars, y):
+        for _ in range(8):
+            y = dense.apply(nvars, y)
+        return y
+
+    measure(report, "dense_stage3_x8_ref", dense_fwd,
+            lambda: sync(dense_fwd(nvars, y3)[0, 0, 0, 0]), nvars, y3)
+
+    print("PROFILE " + json.dumps(
+        {k: round(v, 4) if isinstance(v, float) else v for k, v in report.items()}
+    ), flush=True)
+
+
+if __name__ == "__main__":
+    main()

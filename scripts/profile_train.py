@@ -91,7 +91,7 @@ def main(batch_size=8, h=512, w=1024):
         cfg.train.total_iter = 8000
         cfg.train.loss_resolution = loss_res
         segmentor = build_segmentor(cfg, dtype=jnp.bfloat16)
-        variables = segmentor.init_variables(jax.random.PRNGKey(0), (1, h, w, 3))
+        variables = segmentor.init_variables(jax.random.PRNGKey(0))
         tx = make_optimizer(cfg, variables["params"])
         state = TrainState(
             step=jnp.zeros((), jnp.int32),
