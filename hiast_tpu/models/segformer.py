@@ -184,9 +184,55 @@ class MixTransformer(nn.Module):
         return feats  # strides 4, 8, 16, 32
 
 
+class LinearFuse(nn.Module):
+    """The head's fuse 1x1 conv, applied per stage BEFORE upsampling.
+
+    The kernel is kept in the reference concat layout
+    ``[1, 1, n_stages*embed_dim, embed_dim]`` (exact .pth/HF interop —
+    models/convert_segformer.py), but because a 1x1 conv is linear and
+    commutes with bilinear interpolation,
+    ``fuse(concat(up(y_4)..up(y_1))) == sum_i up(y_i @ W_i)`` exactly.
+    Applying each stage's kernel block at that stage's native grid moves
+    3/4 of the fuse FLOPs off the 1/4-resolution grid (the fuse matmul
+    alone was 1.24 TFLOP/fwd on MiT-B5 at 512x1024 batch 8 — 37% of the
+    model, PERF.md round 4) and never materializes the n_stages*embed_dim
+    concat tensor (1.6 GB there)."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, parts, out_hw):
+        """parts: per-stage [B, h_i, w_i, embed_dim] in CONCAT ORDER
+        (deepest stage first, as the reference concatenates); returns the
+        fused [B, *out_hw, features] map."""
+        from hiast_tpu.ops.resize import bilinear_resize
+
+        total_in = sum(p.shape[-1] for p in parts)
+        # same name/shape/init as the nn.Conv kernel this replaces
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (1, 1, total_in, self.features), jnp.float32,
+        )
+        w_all = kernel[0, 0].astype(self.dtype)
+        h, w = out_hw
+        x = None
+        off = 0
+        for p in parts:
+            blk = w_all[off:off + p.shape[-1]]
+            off += p.shape[-1]
+            z = jnp.einsum("bhwc,cd->bhwd", p, blk)
+            if z.shape[1] != h or z.shape[2] != w:
+                z = bilinear_resize(z, h, w, align_corners=False)
+            x = z if x is None else x + z
+        return x
+
+
 class SegFormerHead(nn.Module):
-    """All-MLP decode head: per-stage projection -> upsample to 1/4 ->
-    concat -> fuse -> classify."""
+    """All-MLP decode head: per-stage projection -> fuse -> upsample to
+    1/4 -> sum -> classify (the fuse/upsample order is swapped vs the
+    reference concat formulation — mathematically identical, see
+    LinearFuse)."""
 
     num_classes: int
     embed_dim: int = 768
@@ -194,17 +240,14 @@ class SegFormerHead(nn.Module):
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
-        from hiast_tpu.ops.resize import bilinear_resize
-
         h, w = feats[0].shape[1], feats[0].shape[2]
         proj = []
         for i, f in enumerate(feats):
             y = nn.Dense(self.embed_dim, dtype=self.dtype, name=f"linear_c{i + 1}")(f)
-            if y.shape[1] != h or y.shape[2] != w:
-                y = bilinear_resize(y, h, w, align_corners=False)
             proj.append(y)
-        x = jnp.concatenate(proj[::-1], axis=-1)
-        x = nn.Conv(self.embed_dim, (1, 1), use_bias=False, dtype=self.dtype, name="fuse")(x)
+        x = LinearFuse(self.embed_dim, dtype=self.dtype, name="fuse")(
+            proj[::-1], (h, w)
+        )
         x = TorchBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name="fuse_bn",
