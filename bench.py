@@ -22,8 +22,8 @@ REFERENCE_TRAIN_IMGS_PER_SEC_PER_GPU = 5.0  # documented estimate, see module do
 # SegFormer-B5 stretch settings — the measured best of the round-4
 # remat-mode x fused-attention ablation (scripts/profile_segformer_remat.py,
 # table in PERF.md): fused Pallas attention ON, remat OFF (the whole step
-# fits: 16.94 GB peak at batch 8) = 21.79 imgs/s vs 11.55 for the round-3
-# full-remat einsum settings.
+# fits: ~16.8 GB peak at batch 8) = 23.80 imgs/s after the LinearFuse head
+# rewrite, vs 11.55 for the round-3 full-remat einsum settings.
 SEGFORMER_REMAT = False
 SEGFORMER_REMAT_MODE = "full"
 SEGFORMER_FUSED_ATTENTION = True
@@ -144,8 +144,12 @@ def bench_train_step(batch_size: int, iters: int = 20, seg_model: str = "DeepLab
         state, losses = step(state, batch, key)
         _sync(losses["target_seg_loss"])
 
-    # fetch the loss every iteration (the training loop does — recorder);
-    # un-fetched outputs queue pathologically on the tunneled platform.
+    # fetch the loss every iteration (the training loop does — recorder),
+    # but PIPELINED one step deep exactly as BaseTrainer.run dispatches:
+    # step k+1 is enqueued before step k's loss is fetched, so the
+    # tunnel's ~25 ms scalar-fetch latency overlaps compute instead of
+    # serializing after every step. Un-fetched outputs must still be
+    # drained (they queue pathologically on the tunneled platform).
     # best-of-3 windows: the shared tunnel has large transient slowdowns.
     # Windows past the first respect the cooperative deadline (_past).
     best = float("inf")
@@ -153,9 +157,13 @@ def bench_train_step(batch_size: int, iters: int = 20, seg_model: str = "DeepLab
         if best < float("inf") and _past(t_end):
             break
         t0 = time.time()
+        prev = None
         for _ in range(iters):
             state, losses = step(state, batch, key)
-            _sync(losses["target_seg_loss"])
+            if prev is not None:
+                _sync(prev)
+            prev = losses["target_seg_loss"]
+        _sync(prev)
         best = min(best, (time.time() - t0) / iters)
 
     flops, hbm = _compiled_flops(step, state, batch, key)
@@ -485,8 +493,9 @@ def _main_stages(budget):
     d["mfu_note"] = (
         "XLA cost-analysis FLOPs / wall time / chip bf16 peak; remat variants"
         " report utilization of model FLOPs (recompute not credited);"
-        " pseudo_gen wall numbers include tunnel D2H of label maps,"
-        " *_compute are the production-host (PCIe) numbers"
+        " train windows fetch losses pipelined one step deep exactly as the"
+        " production loop does; pseudo_gen wall numbers include tunnel D2H"
+        " of label maps, *_compute are the production-host (PCIe) numbers"
     )
     d["baseline_note"] = (
         "vs documented estimate of 5 imgs/s/GPU for the reference fp16 PyTorch loop"
