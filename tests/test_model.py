@@ -412,3 +412,32 @@ class TestSegFormer:
 
         with pytest.raises(ValueError, match="remat_mode"):
             run_b0_self_training_step(make_b0_batch(), mutate)
+
+    def test_linear_fuse_matches_concat_fuse(self):
+        """LinearFuse applies the fuse 1x1 kernel per stage BEFORE
+        upsampling (models/segformer.py): prove it computes exactly the
+        reference formulation — upsample every projected stage to 1/4 res,
+        concat deepest-first, then one 1x1 conv — with the same kernel."""
+        from hiast_tpu.models.segformer import LinearFuse
+        from hiast_tpu.ops.resize import bilinear_resize
+
+        rng = np.random.default_rng(3)
+        embed = 16
+        h, w = 16, 24
+        parts_lowres = [  # CONCAT ORDER: deepest stage first
+            jnp.asarray(rng.normal(size=(2, h // s, w // s, embed)).astype(np.float32))
+            for s in (8, 4, 2, 1)
+        ]
+        fuse = LinearFuse(embed, dtype=jnp.float32)
+        variables = fuse.init(jax.random.PRNGKey(0), parts_lowres, (h, w))
+        got = fuse.apply(variables, parts_lowres, (h, w))
+
+        kernel = variables["params"]["kernel"]  # [1, 1, 4*embed, embed]
+        assert kernel.shape == (1, 1, 4 * embed, embed)
+        up = [
+            p if p.shape[1:3] == (h, w) else bilinear_resize(p, h, w, align_corners=False)
+            for p in parts_lowres
+        ]
+        concat = jnp.concatenate(up, axis=-1)
+        want = jnp.einsum("bhwc,cd->bhwd", concat, kernel[0, 0])
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
