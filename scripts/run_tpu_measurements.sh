@@ -33,7 +33,7 @@ timeout 1800 python scripts/validate_protocols_tpu.py 2>&1 | tee "$OUT/protocols
 echo "== e2e rounds: SegFormer (fused attention + block remat) =="
 timeout 3600 python scripts/e2e_rounds_tpu.py --seg_model SegFormer_B0 2>&1 | tee "$OUT/e2e_segformer.log"
 
-echo "== bench.py (self-budgeted: BENCH_BUDGET_S, default 900 s) =="
+echo "== bench.py (self-budgeted: BENCH_BUDGET_S, default 1200 s) =="
 timeout 3600 python bench.py 2>&1 | tee "$OUT/bench.log"
 
 echo "DONE — results in $OUT"
