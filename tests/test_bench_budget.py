@@ -104,6 +104,91 @@ def test_deadline_helpers():
     assert not bench._past(bench._t_end(60))
 
 
+def _fake_stage_results():
+    """fn_name -> plausible return tuple for _run_in_subprocess fakes."""
+    return {
+        "bench_train_step_auto": [30.0, 0.26, 0.45, 16.0, 8],
+        "bench_pseudo_gen": [27.0, 0.30, 0.22, 61.0, 0.51],
+        "bench_eval": [53.0, 0.15, 0.046],
+    }
+
+
+def test_pseudo_gen_stage_deadline_is_capped(monkeypatch):
+    """A degraded-tunnel pseudo-gen must not be handed the entire remaining
+    budget (that starved the B5 + eval stretch stages in round 4)."""
+    calls = []
+    results = _fake_stage_results()
+
+    def fake(fn_name, timeout, *args, **kwargs):
+        calls.append((fn_name, timeout))
+        return results[fn_name]
+
+    monkeypatch.setattr(bench, "_run_in_subprocess", fake)
+    bench._main_stages(bench._Budget(1200.0))
+    by_name = {}
+    for name, timeout in calls:
+        by_name.setdefault(name, timeout)
+    cap = max(300.0, bench.PSEUDO_GEN_BUDGET_FRACTION * 1200.0)
+    assert by_name["bench_pseudo_gen"] <= cap
+    # train (the headline) keeps the uncapped remaining-budget deadline
+    assert by_name["bench_train_step_auto"] > cap
+    # all four stages ran
+    assert [c[0] for c in calls] == [
+        "bench_train_step_auto", "bench_pseudo_gen",
+        "bench_train_step_auto", "bench_eval",
+    ]
+
+
+@pytest.mark.parametrize("fail_at,expect_ran", [
+    ("bench_pseudo_gen", ["bench_train_step_auto", "bench_pseudo_gen"]),
+    ("segformer", ["bench_train_step_auto", "bench_pseudo_gen",
+                   "bench_train_step_auto"]),
+])
+def test_abandoned_child_skips_later_stages(monkeypatch, fail_at, expect_ran):
+    """An abandoned child keeps running ON the chip; later stages would
+    measure tunnel contention, not capability — they must be skipped."""
+    calls = []
+    results = _fake_stage_results()
+
+    def fake(fn_name, timeout, *args, **kwargs):
+        calls.append(fn_name)
+        is_b5 = fn_name == "bench_train_step_auto" and len(calls) > 1
+        if fn_name == fail_at or (fail_at == "segformer" and is_b5):
+            raise RuntimeError(
+                f"{fn_name} exceeded deadline+grace — abandoned to finish "
+                "in background (pid 12345); not killed"
+            )
+        return results[fn_name]
+
+    monkeypatch.setattr(bench, "_run_in_subprocess", fake)
+    bench._main_stages(bench._Budget(1200.0))
+    assert calls == expect_ran
+    assert "skipped_after_abandoned_child" in bench._REPORT["details"]
+    # the flagship number still lands in the JSON line
+    assert bench._REPORT["train_ips"] == 30.0
+
+
+def test_ordinary_stage_failure_does_not_skip_later_stages(monkeypatch):
+    """Only ABANDONMENT poisons the chip; a clean child failure (e.g. OOM
+    at every rung) must not cost the remaining stages."""
+    calls = []
+    results = _fake_stage_results()
+
+    def fake(fn_name, timeout, *args, **kwargs):
+        calls.append(fn_name)
+        if fn_name == "bench_pseudo_gen":
+            raise RuntimeError("RESOURCE_EXHAUSTED: out of memory")
+        return results[fn_name]
+
+    monkeypatch.setattr(bench, "_run_in_subprocess", fake)
+    bench._main_stages(bench._Budget(1200.0))
+    assert calls == [
+        "bench_train_step_auto", "bench_pseudo_gen",
+        "bench_train_step_auto", "bench_eval",
+    ]
+    assert "skipped_after_abandoned_child" not in bench._REPORT["details"]
+
+
 def test_subprocess_forwards_cooperative_deadline():
     """The child receives deadline= as a kwarg and the parent parses the
     BENCH_RESULT line. Uses this very test module's echo helper below via
