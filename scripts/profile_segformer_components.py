@@ -1,11 +1,19 @@
 """Attribute the SegFormer MiT-B5 consistency-step cost to components on
 the real TPU: full step vs fwd+bwd core vs forward, trunk vs decode head,
-and the Mix-FFN depthwise conv in isolation — at the round-4 production
-settings (fused Pallas SRA attention, no remat, bf16, batch 8, 512x1024).
+a PER-STAGE trunk decomposition, and the Mix-FFN depthwise conv in
+isolation — at the round-4 production settings (fused Pallas SRA
+attention, no remat, bf16, batch 8, 512x1024).
 
-The round-4 ablation (PERF.md) got the step to 0.367 s/iter, 24.5%
-model-MFU; this script answers "where do the other 75% go" so the next
-optimization targets the real hotspot instead of a guess.
+All timings use pipelined dispatch (scripts/profile_train.timeit_pipelined):
+enqueue the window back-to-back, fetch one scalar at the end — the same
+dispatch pattern as the production loops and the bench windows, so the
+tunnel's ~25 ms scalar-fetch roundtrip is amortized over the window
+instead of taxing every iteration (the earlier run of this script taxed
+each entry; PERF.md notes which table is which).
+
+The round-4 ablation (PERF.md) got the step to 0.292 s/iter pipelined,
+24.5% model-MFU; this script answers "where do the other 75% go" so the
+next optimization targets the real hotspot instead of a guess.
 
 Run from the repo root:  python scripts/profile_segformer_components.py
 (one TPU process at a time; ~10 min warm)
@@ -15,20 +23,19 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from scripts.profile_train import flops_of, sync, timeit  # noqa: E402
+from scripts.profile_train import flops_of, sync, timeit_pipelined  # noqa: E402
 
 
-def measure(report, tag, jitted, run, *flop_args, iters=10):
+def measure(report, tag, jitted, dispatch, fetch, *flop_args, iters=10):
     from hiast_tpu.runtime_init import chip_peak_flops
 
     try:
-        dt = timeit(run, iters=iters)
+        dt = timeit_pipelined(dispatch, fetch, iters=iters)
     except Exception as e:  # noqa: BLE001 - keep profiling the rest
         report[tag] = f"FAILED: {str(e)[-160:]}"
         return
@@ -38,10 +45,15 @@ def measure(report, tag, jitted, run, *flop_args, iters=10):
     if flops and peak:
         report[f"{tag}_mfu"] = flops / dt / peak
         report[f"{tag}_gflops"] = flops / 1e9
-    print(f"  {tag}: {dt*1e3:.1f} ms" , flush=True)
+    print(f"  {tag}: {dt*1e3:.1f} ms", flush=True)
+
+
+def fetch_scalar(out):
+    return sync(out if getattr(out, "ndim", 1) == 0 else out.ravel()[0])
 
 
 def main(batch_size=8, h=512, w=1024, variant="B5"):
+    import flax.linen as nn
     import jax
     import jax.numpy as jnp
 
@@ -95,20 +107,20 @@ def main(batch_size=8, h=512, w=1024, variant="B5"):
     # 1) full consistency step (the bench number)
     step_full = jax.jit(S.make_consistency_step(segmentor, tx, strong_aug="CCA"))
     measure(report, "consistency_step", step_full,
-            lambda: sync(step_full(state, batch, key)[1]["target_seg_loss"]),
+            lambda: step_full(state, batch, key)[1]["target_seg_loss"], sync,
             state, batch, key)
 
     # 2) student fwd+bwd+update only (no teacher fwd, no CCA): the training core
     step_st = jax.jit(S.make_self_training_step(segmentor, tx))
     measure(report, "self_training_step", step_st,
-            lambda: sync(step_st(state, batch, key)[1]["target_seg_loss"]),
+            lambda: step_st(state, batch, key)[1]["target_seg_loss"], sync,
             state, batch, key)
 
     # 3) eval forward (the teacher-pass / pseudo-gen cost)
     fwd = jax.jit(S.make_eval_forward(segmentor))
     measure(report, "fwd_full_model", fwd,
-            lambda: sync(fwd(state.params, state.batch_stats, img)[0, 0, 0, 0]),
-            state.params, state.batch_stats, img)
+            lambda: fwd(state.params, state.batch_stats, img), fetch_scalar,
+            state.params, state.batch_stats, img, iters=20)
 
     # 4/5) trunk-only vs decode-head-only, forward (fresh bare modules: same
     # architecture/shapes as inside the segmentor, so the timing attributes)
@@ -122,7 +134,7 @@ def main(batch_size=8, h=512, w=1024, variant="B5"):
         return trunk.apply(tvars, x, train=False)[-1]
 
     measure(report, "fwd_trunk_only", trunk_fwd,
-            lambda: sync(trunk_fwd(tvars, x0)[0, 0, 0, 0]), tvars, x0)
+            lambda: trunk_fwd(tvars, x0), fetch_scalar, tvars, x0, iters=20)
 
     head_dim = 256 if variant in ("B0",) else 768
     head = SF.SegFormerHead(19, embed_dim=head_dim, dtype=jnp.bfloat16)
@@ -137,7 +149,7 @@ def main(batch_size=8, h=512, w=1024, variant="B5"):
         return head.apply(hvars, feats, train=False)
 
     measure(report, "fwd_head_only", head_fwd,
-            lambda: sync(head_fwd(hvars, feats)[0, 0, 0, 0]), hvars, feats)
+            lambda: head_fwd(hvars, feats), fetch_scalar, hvars, feats, iters=20)
 
     # 6) trunk fwd+bwd (where remat/attention live)
     @jax.jit
@@ -149,14 +161,56 @@ def main(batch_size=8, h=512, w=1024, variant="B5"):
         return l
 
     measure(report, "fwdbwd_trunk_only", trunk_fwdbwd,
-            lambda: sync(trunk_fwdbwd(tvars, x0)), tvars, x0)
+            lambda: trunk_fwdbwd(tvars, x0), sync, tvars, x0)
 
-    # 7) the Mix-FFN depthwise 3x3 in isolation at the stage-3 shape (40 of
+    # 7) PER-STAGE trunk forward: patch embed + that stage's blocks at the
+    # stage's native grid.  B5 = 3/6/40/3 blocks at strides 4/8/16/32.
+    # The per-stage sum vs fwd_trunk_only cross-checks the attribution.
+    stage_in = [(h, w, 3)]
+    for s in range(3):
+        stride = 4 * (2 ** s)
+        stage_in.append((h // stride, w // stride, embed_dims[s]))
+
+    for s in range(4):
+        class _Stage(nn.Module):
+            @nn.compact
+            def __call__(self, x, _s=s):
+                patch, stride = (7, 4) if _s == 0 else (3, 2)
+                x = SF.OverlapPatchEmbed(
+                    embed_dims[_s], patch, stride, dtype=jnp.bfloat16, name="pe")(x)
+                for b in range(depths[_s]):
+                    x = SF.MiTBlock(
+                        embed_dims[_s], SF.NUM_HEADS[_s], SF.SR_RATIOS[_s],
+                        SF.MLP_RATIOS[_s], dtype=jnp.bfloat16,
+                        fused_attention=True, name=f"blk{b}")(x)
+                return x
+
+        stage = _Stage()
+        xs = jnp.zeros((batch_size, *stage_in[s]), jnp.bfloat16)
+        svars = jax.jit(stage.init)(jax.random.PRNGKey(0), xs[:1])
+
+        @jax.jit
+        def stage_fwd(svars, x, _stage=stage):
+            return _stage.apply(svars, x)
+
+        measure(report, f"fwd_stage{s + 1}_only", stage_fwd,
+                lambda: stage_fwd(svars, xs), fetch_scalar, svars, xs, iters=20)
+
+        @jax.jit
+        def stage_fwdbwd(svars, x, _stage=stage):
+            def loss(v):
+                return _stage.apply(v, x).astype(jnp.float32).mean()
+
+            return jax.value_and_grad(loss)(svars)[0]
+
+        measure(report, f"fwdbwd_stage{s + 1}_only", stage_fwdbwd,
+                lambda: stage_fwdbwd(svars, xs), sync, svars, xs, iters=20)
+
+    # 8) the Mix-FFN depthwise 3x3 in isolation at the stage-3 shape (40 of
     # B5's 52 blocks): is XLA's TPU depthwise lowering a bottleneck?
     s3_tokens = (h // 16, w // 16)
     dim3 = embed_dims[2] * 4  # ffn hidden
     y3 = jnp.zeros((batch_size, *s3_tokens, dim3), jnp.bfloat16)
-    import flax.linen as nn
 
     dw = nn.Conv(dim3, (3, 3), padding=((1, 1), (1, 1)), feature_group_count=dim3,
                  dtype=jnp.bfloat16)
@@ -164,13 +218,13 @@ def main(batch_size=8, h=512, w=1024, variant="B5"):
 
     @jax.jit
     def dw_fwd(dvars, y):
-        # chain 8 deep: a single dwconv is too fast for the ~25 ms sync cost
+        # chain 8 deep: one dwconv is shorter than the dispatch turnaround
         for _ in range(8):
             y = dw.apply(dvars, y)
         return y
 
     measure(report, "dwconv_stage3_x8", dw_fwd,
-            lambda: sync(dw_fwd(dvars, y3)[0, 0, 0, 0]), dvars, y3)
+            lambda: dw_fwd(dvars, y3), fetch_scalar, dvars, y3, iters=20)
 
     dense = nn.Dense(dim3, dtype=jnp.bfloat16)
     nvars = dense.init(jax.random.PRNGKey(0), y3[:1])
@@ -182,7 +236,22 @@ def main(batch_size=8, h=512, w=1024, variant="B5"):
         return y
 
     measure(report, "dense_stage3_x8_ref", dense_fwd,
-            lambda: sync(dense_fwd(nvars, y3)[0, 0, 0, 0]), nvars, y3)
+            lambda: dense_fwd(nvars, y3), fetch_scalar, nvars, y3, iters=20)
+
+    # 9) LayerNorm + residual chain at the stage-1 grid (longest token dim):
+    # every MiT block runs two of these; they are pure-bandwidth ops.
+    y1 = jnp.zeros((batch_size, h // 4, w // 4, embed_dims[0]), jnp.bfloat16)
+    ln = nn.LayerNorm(epsilon=SF.LN_EPS, dtype=jnp.bfloat16)
+    lvars = ln.init(jax.random.PRNGKey(0), y1[:1])
+
+    @jax.jit
+    def ln_fwd(lvars, y):
+        for _ in range(8):
+            y = y + ln.apply(lvars, y)
+        return y
+
+    measure(report, "ln_residual_stage1_x8", ln_fwd,
+            lambda: ln_fwd(lvars, y1), fetch_scalar, lvars, y1, iters=20)
 
     print("PROFILE " + json.dumps(
         {k: round(v, 4) if isinstance(v, float) else v for k, v in report.items()}

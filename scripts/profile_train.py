@@ -34,6 +34,28 @@ def timeit(fn, iters=10, windows=3):
     return best
 
 
+def timeit_pipelined(dispatch, fetch, iters=10, windows=3):
+    """Time with async dispatch: enqueue ``iters`` programs back-to-back,
+    sync ONCE by fetching a scalar from the last output (``fetch``).
+
+    ``timeit`` syncs per call, so every iteration carries the tunnel's
+    ~25 ms scalar-fetch roundtrip — dominating sub-50 ms programs.  The
+    production loops and the bench windows dispatch one step deep and
+    fetch behind; this measures the same pattern.  Programs execute in
+    dispatch order, so fetching the last output syncs the whole window.
+    """
+    out = dispatch()
+    fetch(out)  # warm (compile + first load)
+    best = float("inf")
+    for _ in range(windows):
+        t0 = time.time()
+        for _ in range(iters):
+            out = dispatch()
+        fetch(out)
+        best = min(best, (time.time() - t0) / iters)
+    return best
+
+
 def flops_of(jitted, *args):
     from bench import _compiled_flops  # ONE copy of the cost-analysis idiom
 
