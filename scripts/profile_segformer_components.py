@@ -151,6 +151,15 @@ def main(batch_size=8, h=512, w=1024, variant="B5"):
     measure(report, "fwd_head_only", head_fwd,
             lambda: head_fwd(hvars, feats), fetch_scalar, hvars, feats, iters=20)
 
+    def grad_sum(g):
+        # Reduce EVERY grad leaf into the returned scalar: a value_and_grad
+        # whose gradient never escapes the jit is dead code — XLA deletes
+        # the whole backward and "fwd+bwd" silently measures fwd only
+        # (burned this script once; the reduction is one ~0.4 ms pass).
+        return jax.tree_util.tree_reduce(
+            lambda a, b: a + b.astype(jnp.float32).sum(), g, jnp.float32(0.0)
+        )
+
     # 6) trunk fwd+bwd (where remat/attention live)
     @jax.jit
     def trunk_fwdbwd(tvars, x):
@@ -158,7 +167,7 @@ def main(batch_size=8, h=512, w=1024, variant="B5"):
             return trunk.apply(v, x, train=False)[-1].astype(jnp.float32).mean()
 
         l, g = jax.value_and_grad(loss)(tvars)
-        return l
+        return l + grad_sum(g)
 
     measure(report, "fwdbwd_trunk_only", trunk_fwdbwd,
             lambda: trunk_fwdbwd(tvars, x0), sync, tvars, x0)
@@ -201,10 +210,14 @@ def main(batch_size=8, h=512, w=1024, variant="B5"):
             def loss(v):
                 return _stage.apply(v, x).astype(jnp.float32).mean()
 
-            return jax.value_and_grad(loss)(svars)[0]
+            l, g = jax.value_and_grad(loss)(svars)
+            return l + grad_sum(g)
 
-        measure(report, f"fwdbwd_stage{s + 1}_only", stage_fwdbwd,
-                lambda: stage_fwdbwd(svars, xs), sync, svars, xs, iters=20)
+        if s in (0, 2):  # the two interesting backwards: bandwidth-bound
+            # large grid (stage 1) vs FLOP-dominant depth (stage 3); each
+            # extra program is a fresh 30-100 s tunnel compile.
+            measure(report, f"fwdbwd_stage{s + 1}_only", stage_fwdbwd,
+                    lambda: stage_fwdbwd(svars, xs), sync, svars, xs, iters=20)
 
     # 8) the Mix-FFN depthwise 3x3 in isolation at the stage-3 shape (40 of
     # B5's 52 blocks): is XLA's TPU depthwise lowering a bottleneck?
