@@ -84,11 +84,21 @@ class EfficientAttention(nn.Module):
         )
         kv_in = x
         if self.sr > 1:
+            from hiast_tpu.parallel.hints import constrain_space_replicated
+
+            # The reduced K/V grid (H/sr x W/sr) is consumed replicated by
+            # the attention contraction; pinning it at both ends of sr_norm
+            # stops GSPMD from guessing conflicting layouts for the k-/v-
+            # branch cotangents, whose accumulation otherwise falls into
+            # "[SPMD] Involuntary full rematerialization" on every dp x sp
+            # step.  No-op on space=1 meshes (parallel/hints.py).
             kv_in = nn.Conv(
                 self.dim, (self.sr, self.sr), strides=(self.sr, self.sr),
                 dtype=self.dtype, name="sr",
             )(x)
+            kv_in = constrain_space_replicated(kv_in)
             kv_in = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="sr_norm")(kv_in)
+            kv_in = constrain_space_replicated(kv_in)
         n_kv = kv_in.shape[1] * kv_in.shape[2]
         k = nn.Dense(self.dim, dtype=self.dtype, name="k")(kv_in).reshape(
             b, n_kv, self.heads, head_dim

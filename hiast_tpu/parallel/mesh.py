@@ -70,7 +70,14 @@ def make_mesh(cfg=None, devices=None, batch_size=None) -> Mesh:
             f"{len(devices)} available devices."
         )
     devs = np.asarray(devices[: data * space * model]).reshape(data, space, model)
-    return Mesh(devs, ("data", "space", "model"))
+    mesh = Mesh(devs, ("data", "space", "model"))
+    # publish for activation-sharding constraints inside model code (the
+    # SegFormer SRA K/V replication pin — parallel/hints.py); no-op consumer
+    # unless space > 1
+    from hiast_tpu.parallel.hints import set_mesh_hint
+
+    set_mesh_hint(mesh)
+    return mesh
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

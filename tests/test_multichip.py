@@ -197,6 +197,43 @@ def test_segformer_fused_attention_sharded_step_matches(eight_devices):
     np.testing.assert_allclose(k_got, k_ref, atol=1e-6)
 
 
+def test_segformer_spatial_step_partitions_cleanly(eight_devices, capfd):
+    """The SegFormer dp x sp backward must partition WITHOUT the GSPMD
+    "Involuntary full rematerialization" fallback (a full gradient-tensor
+    replicate + repartition per step on real hardware).  Pinned by the SRA
+    K/V replication constraint (parallel/hints.py) — this test regresses the
+    round-4 defect by compiling the step fresh and scanning the partitioner's
+    stderr."""
+    from tests.test_steps import init_state, make_batch, tiny_cfg
+    from hiast_tpu.models.segmentors import build_segmentor
+    from hiast_tpu.parallel.mesh import shard_batch
+    from hiast_tpu.registry import populate
+    from hiast_tpu.selftrain.steps import make_self_training_step
+
+    populate()
+    cfg = tiny_cfg(**{
+        "model.seg_model.type": "SegFormer_B0",
+        "train.optimizer": "SGD",
+        "train.batch_size": 4,
+        "runtime.mesh.space": 2,
+        "runtime.remat": True,
+        "runtime.remat_mode": "blocks",
+        "runtime.fused_attention": True,
+    })
+    segmentor = build_segmentor(cfg, dtype=jnp.float32)
+    mesh = make_mesh(cfg)  # publishes the hint the constraint reads at trace
+    assert mesh.shape == {"data": 4, "space": 2, "model": 1}
+    state, tx, _ = init_state(cfg, segmentor)
+    batch = make_batch(("t_img", "t_plbl"), batch=4)
+    step = jax.jit(make_self_training_step(segmentor, tx))
+    capfd.readouterr()  # drop setup noise; capture the compile only
+    _, losses = step(replicate(mesh, state), shard_batch(mesh, dict(batch)),
+                     jax.random.PRNGKey(7))
+    assert np.isfinite(float(losses["target_seg_loss"]))
+    err = capfd.readouterr().err
+    assert "Involuntary full rematerialization" not in err, err[-2000:]
+
+
 def test_tensor_parallel_step_matches_data_parallel(eight_devices):
     """Full HIAST consistency step on a (data=4, model=2) mesh — parameters,
     EMA, and optimizer moments channel-sharded over 'model'

@@ -42,16 +42,16 @@ def tiny_cfg(**overrides):
     return cfg
 
 
-def make_batch(keys=("t_img", "t_plbl")):
-    batch = {}
+def make_batch(keys=("t_img", "t_plbl"), batch=8):
+    out = {}
     for k in keys:
         if "img" in k:
-            batch[k] = RNG.integers(0, 255, size=(8, H, W, 3)).astype(np.uint8)
+            out[k] = RNG.integers(0, 255, size=(batch, H, W, 3)).astype(np.uint8)
         else:
-            lbl = RNG.integers(0, 19, size=(8, H, W)).astype(np.int32)
-            mask = RNG.random(size=(8, H, W)) < 0.4
-            batch[k] = np.where(mask, 255, lbl).astype(np.int32)
-    return batch
+            lbl = RNG.integers(0, 19, size=(batch, H, W)).astype(np.int32)
+            mask = RNG.random(size=(batch, H, W)) < 0.4
+            out[k] = np.where(mask, 255, lbl).astype(np.int32)
+    return out
 
 
 def init_state(cfg, segmentor, with_ema=False, with_d=False):
