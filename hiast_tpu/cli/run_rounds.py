@@ -5,6 +5,14 @@ the student resumed from round k-1's STUDENT checkpoint.  State crosses
 rounds via the filesystem only (checkpoints, pseudo-label PNG dir, stats
 files) — the same contract as the reference (SURVEY §3.5).
 
+Re-running the driver after an interruption resumes instead of redoing
+finished work (a superset of ``code/train.sh``, which restarts manually):
+a round whose ``model_last`` is at ``total_iter`` is skipped outright;
+one interrupted mid-training (e.g. the preemption checkpoint, SIGTERM ->
+trainers.py) continues FULL-state via ``train.resume_from``; pseudo-label
+dirs skip when complete and are cleared+regenerated when partial
+(pseudo/generator.py:prepare_dirs).
+
     python -m hiast_tpu.cli.run_rounds --work_dir ../log/gtav-to-cityscapes/hiast \
         --warmup_ckpt ../pretrained/resume_from.pth \
         --warmup_pseudo_ckpt ../pretrained/pseudo_resume_from.pth
@@ -15,6 +23,16 @@ import argparse
 import os
 
 from hiast_tpu.cli import generate_pseudo_labels, train
+from hiast_tpu.utils.checkpoint import load_step
+
+
+def _round_total_iter(cfg_file: str, setting: str) -> int:
+    """The round's schedule length, from the SAME config layering train.main
+    applies (config file + setting overlay) — the resume decision must see
+    the value training will actually run with."""
+    from hiast_tpu.config import load_config
+
+    return int(load_config(cfg_file, setting, freeze=False).train.total_iter)
 
 
 def main(argv=None):
@@ -38,26 +56,46 @@ def main(argv=None):
         cfg_file = os.path.join(args.configs_dir, f"sl_{k}.yaml")
         round_dir = os.path.join(args.work_dir, f"sl_{k}")
         pseudo_dir = os.path.join(round_dir, "pseudo_label", "gray_label")
-
-        generate_pseudo_labels.main([
-            "--config_file", cfg_file,
-            "--pseudo_resume_from", pseudo_ckpt,
-            "--pseudo_save_dir", pseudo_dir,
-        ])
-        # train.init_from, NOT --resume_from: round k-1's model_last is a
-        # FULL-state Orbax checkpoint (step == total_iter); resuming it would
-        # start round k past its schedule and train zero iterations.  The
-        # cross-round contract is weights-only + a fresh schedule
-        # (reference code/train.sh re-launches train.py per round).
-        train.main([
-            "--config_file", cfg_file,
-            "--setting_file", setting,
-            "--pseudo_save_dir", pseudo_dir,
-            "--work_dir", round_dir,
-            "train.init_from", student_ckpt,
-        ])
-
         ckpt_dir = os.path.join(round_dir, "checkpoints")
+
+        # Round-level resume: model_last carries the step it was saved at
+        # (both the end-of-round save and the SIGTERM preemption checkpoint
+        # write it).  step >= total_iter -> the round's training is DONE;
+        # 0 < step < total_iter -> continue it FULL-state (optimizer, EMA,
+        # schedule position) via train.resume_from; no step -> fresh round.
+        done_step = load_step(ckpt_dir, "model_last")
+        total_iter = _round_total_iter(cfg_file, setting)
+        if done_step is not None and done_step >= total_iter:
+            print(f"%% round {k}: training already complete "
+                  f"(model_last at step {done_step} >= {total_iter}); skipping")
+        else:
+            # pseudo-gen skips idempotently when complete and recovers a
+            # partially-written dir (pseudo/generator.py:prepare_dirs); when
+            # training is mid-round the labels are necessarily complete.
+            generate_pseudo_labels.main([
+                "--config_file", cfg_file,
+                "--pseudo_resume_from", pseudo_ckpt,
+                "--pseudo_save_dir", pseudo_dir,
+            ])
+            if done_step is not None:
+                print(f"%% round {k}: resuming interrupted training from "
+                      f"step {done_step} (full state)")
+                resume_args = ["--resume_from", os.path.join(ckpt_dir, "model_last")]
+            else:
+                # train.init_from, NOT --resume_from: round k-1's model_last
+                # is a FULL-state Orbax checkpoint (step == total_iter);
+                # resuming it would start round k past its schedule and train
+                # zero iterations.  The cross-round contract is weights-only +
+                # a fresh schedule (reference code/train.sh re-launches
+                # train.py per round).
+                resume_args = ["train.init_from", student_ckpt]
+            train.main([
+                "--config_file", cfg_file,
+                "--setting_file", setting,
+                "--pseudo_save_dir", pseudo_dir,
+                "--work_dir", round_dir,
+            ] + resume_args)
+
         pseudo_ckpt = os.path.join(ckpt_dir, "ema_model_last")
         student_ckpt = os.path.join(ckpt_dir, "model_last")
 

@@ -51,6 +51,28 @@ def load_train_state(ckpt_dir: str, name: str, target: Any) -> Any:
         return ckptr.restore(path, target)
 
 
+def load_step(ckpt_dir: str, name: str = "model_last") -> int | None:
+    """Read ONLY the ``step`` scalar from a full-state checkpoint (a partial
+    Orbax restore — no parameter arrays touch memory).  Returns None when the
+    path is missing, not an Orbax dir, or carries no step (weights-only) —
+    the round driver uses this to decide skip / resume / fresh-start
+    (cli/run_rounds.py) without paying a full restore per probe."""
+    path = os.path.abspath(os.path.join(ckpt_dir, name))
+    if not os.path.isdir(path):
+        return None
+    ocp = _ocp()
+    try:
+        restored = ocp.PyTreeCheckpointer().restore(
+            path,
+            args=ocp.args.PyTreeRestore(
+                item={"step": np.zeros((), np.int32)}, partial_restore=True
+            ),
+        )
+        return int(np.asarray(restored["step"]))
+    except Exception:  # noqa: BLE001 - absent/weights-only/corrupt: no step
+        return None
+
+
 def load_weights(path: str, target_variables: Any | None = None) -> dict:
     """Weights-only load from either a torch ``.pth`` or an Orbax directory.
 

@@ -219,6 +219,91 @@ def test_run_rounds_driver(fixture_root, tmp_path):
     assert np.abs(np.asarray(k1) - np.asarray(k2)).max() > 0
 
 
+def test_run_rounds_resumes_after_interruption(fixture_root, tmp_path, capsys,
+                                               monkeypatch):
+    """SIGTERM mid-round-2 training, then re-run run_rounds.main: round 1's
+    training is SKIPPED (model_last at total_iter), round 2's pseudo labels
+    skip idempotently, and round 2's training RESUMES full-state from the
+    preemption checkpoint instead of retraining from scratch (VERDICT r4
+    weak #3 — the reference's train.sh restarts everything manually)."""
+    import signal
+
+    import jax
+    import numpy as np
+
+    from hiast_tpu.cli import run_rounds
+    from hiast_tpu.config import load_config
+    from hiast_tpu.models.segmentors import build_segmentor
+    from hiast_tpu.utils.checkpoint import load_step, save_train_state
+    from hiast_tpu.utils.recorder import ResultRecorder
+
+    cfg_file, setting_file = write_round_config(tmp_path, fixture_root)
+    configs_dir = tmp_path / "configs"
+    os.makedirs(configs_dir)
+    import shutil
+
+    shutil.copy(cfg_file, configs_dir / "sl_1.yaml")
+    shutil.copy(cfg_file, configs_dir / "sl_2.yaml")
+    shutil.copy(setting_file, configs_dir / "hiast_setting.yaml")
+
+    cfg = load_config(str(configs_dir / "sl_1.yaml"))
+    seg = build_segmentor(cfg, dtype=np.float32, backbone_layers=(1, 1, 1, 1))
+    v = seg.init_variables(jax.random.PRNGKey(0), (1, 32, 64, 3))
+    warm = tmp_path / "pretrained"
+    save_train_state(str(warm), "warmup",
+                     {"params": v["params"], "batch_stats": v["batch_stats"]})
+
+    driver_args = [
+        "--work_dir", str(tmp_path / "hiast_log"),
+        "--warmup_ckpt", str(warm / "warmup"),
+        "--warmup_pseudo_ckpt", str(warm / "warmup"),
+        "--configs_dir", str(configs_dir),
+        "--rounds", "2",
+    ]
+
+    # "preempt" at the 5th recorded training iteration = round 2, iter 2
+    # (round 1 runs its full total_iter=3 first)
+    orig_record = ResultRecorder.record_losses
+    calls = {"n": 0}
+
+    def record_and_preempt(self, losses):
+        calls["n"] += 1
+        if calls["n"] == 5:
+            os.kill(os.getpid(), signal.SIGTERM)
+        return orig_record(self, losses)
+
+    monkeypatch.setattr(ResultRecorder, "record_losses", record_and_preempt)
+    run_rounds.main(driver_args)
+    monkeypatch.setattr(ResultRecorder, "record_losses", orig_record)
+
+    work = tmp_path / "hiast_log"
+    r1_ckpts = str(work / "sl_1" / "checkpoints")
+    r2_ckpts = str(work / "sl_2" / "checkpoints")
+    assert load_step(r1_ckpts) == 3  # round 1 completed
+    interrupted_at = load_step(r2_ckpts)
+    assert interrupted_at == 2, "round 2 must have checkpointed mid-schedule"
+    r1_mtime = os.path.getmtime(os.path.join(r1_ckpts, "model_last"))
+    pseudo2 = work / "sl_2" / "pseudo_label" / "gray_label"
+    pseudo2_mtimes = {
+        e: os.path.getmtime(os.path.join(pseudo2, e)) for e in os.listdir(pseudo2)
+    }
+    capsys.readouterr()
+
+    # re-run the driver: finish round 2 without redoing finished work
+    run_rounds.main(driver_args)
+    out = capsys.readouterr().out
+    assert "round 1: training already complete" in out
+    assert "round 2: resuming interrupted training from step 2" in out
+    assert "already exist" in out  # round 2 pseudo labels skipped
+
+    assert load_step(r2_ckpts) == 3  # round 2 now complete
+    assert "ema_model_last" in os.listdir(r2_ckpts)
+    # round 1's checkpoint and round 2's pseudo labels were NOT rewritten
+    assert os.path.getmtime(os.path.join(r1_ckpts, "model_last")) == r1_mtime
+    for e, t in pseudo2_mtimes.items():
+        assert os.path.getmtime(os.path.join(pseudo2, e)) == t
+
+
 def test_validate_cli(fixture_root, tmp_path, capsys):
     """validate CLI end-to-end on fixtures with random weights."""
     from hiast_tpu.cli import validate as validate_cli
