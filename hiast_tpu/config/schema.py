@@ -120,6 +120,14 @@ def default_config() -> ConfigNode:
                 # width; the kernel's [pixels, C=19] layout idles 85% of the
                 # lanes).  Kept as an opt-in reference kernel; see PERF.md.
                 "use_pallas_select": False,
+                # 5-bit pack the label maps ON DEVICE before the D2H fetch
+                # (pseudo/packing.py): 1.6x smaller transfer for the stage
+                # that is D2H-bound on slow links.  The round-trip is EXACT
+                # (bit-identical artifacts, tests/test_pseudo.py), so unlike
+                # the opt-in fast modes above this defaults ON; it silently
+                # no-ops when the label space exceeds 5 bits or the row
+                # width is not a multiple of 8 (packing.can_pack).
+                "pack_d2h": True,
             },
             # ==============================================================
             # training
@@ -244,7 +252,9 @@ def default_config() -> ConfigNode:
                 # (ops/pallas/attention.py): the [N_q, N_kv] score matrix
                 # stays in VMEM instead of round-tripping HBM.  Same math;
                 # incompatible with mesh.model > 1 (pallas is opaque to the
-                # partitioner)
+                # partitioner).  Either one bool, or a 4-list of per-stage
+                # flags (e.g. [True, True, True, False]) — stage 4 measured
+                # as a fused/einsum wash while stages 1-3 win (PERF.md).
                 "fused_attention": False,
                 # skip the optimizer update (keep params/opt state) on steps
                 # whose loss or gradients are non-finite, instead of letting
