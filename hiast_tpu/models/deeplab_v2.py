@@ -128,7 +128,16 @@ def build_seg_model(cfg, dtype=jnp.float32, backbone_layers=None):
         on = getattr(cfg.runtime, "remat", False)
         kwargs["remat"] = mode if (on and mode in ("blocks", "blocks_dots")) else "none"
         fused = getattr(cfg.runtime, "fused_attention", False)
-        if fused:
+        if isinstance(fused, (list, tuple)):
+            # per-stage mix (see segformer.py:MixTransformer): a 4-list of
+            # flags routes each MiT stage to its measured winner
+            fused = tuple(bool(f) for f in fused)
+            assert len(fused) == 4, (
+                f"runtime.fused_attention as a list needs 4 per-stage flags, "
+                f"got {fused!r}"
+            )
+        fused_any = any(fused) if isinstance(fused, tuple) else bool(fused)
+        if fused_any:
             # The fused kernel partitions over the batch dim (dp) and the
             # query-token dim (sp: rows shard, resident K/V replicate, dK/dV
             # psum — ops/pallas/attention.py).  The 'model' axis would split

@@ -162,7 +162,7 @@ class MixTransformer(nn.Module):
     # 'blocks_dots' additionally SAVES matmul outputs inside each block
     # (dots_with_no_batch_dims_saveable): less recompute, more memory.
     remat: str = "none"
-    fused_attention: bool = False  # see EfficientAttention.fused
+    fused_attention: Any = False  # bool or per-stage 4-tuple, see __call__
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -177,6 +177,19 @@ class MixTransformer(nn.Module):
             )
             # nn.remat is parameter-transparent: same param tree + names
             block_cls = nn.remat(MiTBlock, policy=policy)
+        # fused_attention: bool, or a per-stage 4-tuple — stage 4 (sr=1,
+        # 8 heads, short 16x32 token grid) measured as a fused/einsum wash
+        # on real Mosaic while stages 1-3 win 23-41% (PERF.md round 4), so
+        # the production mix can route each stage to its winner.
+        per_stage = (
+            tuple(self.fused_attention)
+            if isinstance(self.fused_attention, (list, tuple))
+            else (self.fused_attention,) * 4
+        )
+        assert len(per_stage) == 4, (
+            f"fused_attention must be a bool or 4 per-stage flags, got "
+            f"{self.fused_attention!r}"
+        )
         feats = []
         for s in range(4):
             patch, stride = (7, 4) if s == 0 else (3, 2)
@@ -186,7 +199,7 @@ class MixTransformer(nn.Module):
             for b in range(self.depths[s]):
                 x = block_cls(
                     self.embed_dims[s], NUM_HEADS[s], SR_RATIOS[s], MLP_RATIOS[s],
-                    dtype=self.dtype, fused_attention=self.fused_attention,
+                    dtype=self.dtype, fused_attention=per_stage[s],
                     name=f"block{s + 1}_{b}",
                 )(x)
             x = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name=f"norm{s + 1}")(x)
@@ -274,7 +287,7 @@ class SegFormer(nn.Module):
     output_dim: int = 256  # interface parity; unused
     dtype: Any = jnp.float32
     remat: str = "none"  # see MixTransformer.remat
-    fused_attention: bool = False  # see EfficientAttention.fused
+    fused_attention: Any = False  # bool or per-stage 4-tuple (MixTransformer)
 
     @nn.compact
     def __call__(self, x, train: bool = False, bn_axis_name=None, return_representation=False):

@@ -176,6 +176,26 @@ def test_segformer_fused_step_matches_einsum_step():
     )
 
 
+def test_per_stage_fused_mix_matches_einsum_step():
+    """runtime.fused_attention as a 4-list routes each MiT stage to fused or
+    einsum attention independently (the production mix: stage 4 measured as
+    a wash, PERF.md) — same param tree, same step as the all-einsum
+    baseline."""
+    from helpers import assert_same_step, make_b0_batch, run_b0_self_training_step
+
+    batch = make_b0_batch(seed=11)
+
+    def mutate(cfg):
+        cfg.runtime.fused_attention = [True, True, True, False]
+
+    assert_same_step(
+        run_b0_self_training_step(batch),
+        run_b0_self_training_step(batch, mutate),
+        "per_stage_mix",
+        loss_rtol=1e-4, param_rtol=5e-3, param_atol=5e-4,
+    )
+
+
 def test_fused_attention_composes_with_block_remat():
     """The production MiT-B5 configuration is per-block remat + fused
     attention together (custom_vjp inside nn.remat): same step as the
