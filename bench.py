@@ -57,6 +57,23 @@ def _past(t_end: float | None) -> bool:
     return t_end is not None and time.time() > t_end
 
 
+class _PhaseClock:
+    """Per-stage overhead accounting (VERDICT r4 weak #2: the train stage
+    spent ~710 s to obtain a 5 s measurement window — say where).  Children
+    report {setup, compile_load, measure} seconds; on this box compile_load
+    is dominated by shipping the compiled executable through the tunnel
+    (~3-4 s/MB even on a persistent-cache hit, PERF.md)."""
+
+    def __init__(self):
+        self.t = time.time()
+        self.phases = {}
+
+    def mark(self, name: str) -> None:
+        now = time.time()
+        self.phases[name] = round(self.phases.get(name, 0.0) + now - self.t, 1)
+        self.t = now
+
+
 def _chip_peak_flops() -> float | None:
     from hiast_tpu.runtime_init import chip_peak_flops
 
@@ -92,6 +109,7 @@ def bench_train_step(batch_size: int, iters: int = 20, seg_model: str = "DeepLab
                      remat: bool = False, remat_mode: str = "full",
                      fused_attention: bool = False, deadline: float | None = None):
     t_end = _t_end(deadline)
+    clock = _PhaseClock()
     import jax
     import jax.numpy as jnp
 
@@ -120,17 +138,37 @@ def bench_train_step(batch_size: int, iters: int = 20, seg_model: str = "DeepLab
 
     segmentor = build_segmentor(cfg, dtype=jnp.bfloat16)
     h, w = 512, 1024
-    variables = segmentor.init_variables(jax.random.PRNGKey(0))
-    tx = make_optimizer(cfg, variables["params"])
-    # jit the tree-wide init programs: eager per-leaf dispatch costs tens of
-    # seconds through the tunnel's ~25 ms roundtrip on 1000+-leaf trees
-    state = TrainState(
-        step=jnp.zeros((), jnp.int32),
-        params=variables["params"],
-        batch_stats=variables["batch_stats"],
-        opt_state=jax.jit(tx.init)(variables["params"]),
-        ema_params=jax.jit(lambda p: jax.tree.map(jnp.copy, p))(variables["params"]),
-    )
+    clock.mark("setup_imports")
+
+    # ONE fused init program (module.init + tx.init + EMA copy + TrainState
+    # assembly under a single jit): each separate program pays its own
+    # compile-or-cache-hit + executable LOAD through the tunnel — the
+    # round-5 phase split showed setup dominating the whole train stage
+    # (934 s of a 1159 s stage), so every avoided program round-trip counts.
+    # make_optimizer only inspects the param tree structure/paths, so it
+    # accepts the eval_shape abstraction (zero device work).
+    def _init_variables(rng):
+        return segmentor.module.init(
+            rng, jnp.zeros((1, 65, 65, 3), segmentor.dtype), train=False,
+            return_representation=True,
+        )
+
+    abstract = jax.eval_shape(_init_variables, jax.random.PRNGKey(0))
+    tx = make_optimizer(cfg, abstract["params"])
+
+    @jax.jit
+    def init_state(rng):
+        variables = _init_variables(rng)
+        params = variables["params"]
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=variables["batch_stats"],
+            opt_state=tx.init(params),
+            ema_params=jax.tree.map(jnp.copy, params),
+        )
+
+    state = init_state(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
     batch = {
         "t_img": jnp.asarray(rng.integers(0, 255, size=(batch_size, h, w, 3), dtype=np.uint8)),
@@ -144,9 +182,11 @@ def bench_train_step(batch_size: int, iters: int = 20, seg_model: str = "DeepLab
     }
     step = jax.jit(make_consistency_step(segmentor, tx, strong_aug="CCA"), donate_argnums=0)
     key = jax.random.PRNGKey(1)
+    clock.mark("setup_init")
 
-    state, losses = step(state, batch, key)  # compile
+    state, losses = step(state, batch, key)  # compile (or cache-hit + LOAD)
     _sync(losses["target_seg_loss"])
+    clock.mark("compile_load")
     for _ in range(2):  # warm
         state, losses = step(state, batch, key)
         _sync(losses["target_seg_loss"])
@@ -172,11 +212,12 @@ def bench_train_step(batch_size: int, iters: int = 20, seg_model: str = "DeepLab
             prev = losses["target_seg_loss"]
         _sync(prev)
         best = min(best, (time.time() - t0) / iters)
+    clock.mark("measure")
 
     flops, hbm = _compiled_flops(step, state, batch, key)
     peak = _chip_peak_flops()
     mfu = (flops / best / peak) if (flops and peak) else None
-    return batch_size / best, best, mfu, hbm
+    return batch_size / best, best, mfu, hbm, clock.phases
 
 
 def bench_train_step_auto(batches=(8, 4, 2), iters: int = 20, seg_model: str = "DeepLab_V2",
@@ -192,11 +233,11 @@ def bench_train_step_auto(batches=(8, 4, 2), iters: int = 20, seg_model: str = "
     for bs in batches:
         try:
             rem = (t_end - time.time()) if t_end else None
-            ips, dt, mfu, hbm = bench_train_step(
+            ips, dt, mfu, hbm, phases = bench_train_step(
                 bs, iters, seg_model, remat, remat_mode, fused_attention,
                 deadline=rem,
             )
-            return ips, dt, mfu, hbm, bs
+            return ips, dt, mfu, hbm, bs, phases
         except Exception as e:  # noqa: BLE001 - OOM at compile; step down
             last = e
             if "RESOURCE_EXHAUSTED" not in str(e) and "memory" not in str(e).lower():
@@ -208,6 +249,7 @@ def bench_train_step_auto(batches=(8, 4, 2), iters: int = 20, seg_model: str = "
 
 def bench_pseudo_gen(batch_size: int = 8, iters: int = 10, deadline: float | None = None):
     t_end = _t_end(deadline)
+    clock = _PhaseClock()
     import jax
     import jax.numpy as jnp
 
@@ -230,6 +272,7 @@ def bench_pseudo_gen(batch_size: int = 8, iters: int = 10, deadline: float | Non
     variables = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
 
     from hiast_tpu.ops.resize import bilinear_resize
+    from hiast_tpu.pseudo.packing import pack_labels, unpack_labels
 
     @jax.jit
     def gen_step(variables, images, state):
@@ -246,20 +289,25 @@ def bench_pseudo_gen(batch_size: int = 8, iters: int = 10, deadline: float | Non
         counts = P.per_sample_class_counts(plbl, 19)
         sums, totals = P.class_prob_sums(plbl, maxprob, 19)
         new_cmp = P.update_class_mean_probs(state.class_mean_probs, sums, totals, 0.99)
-        return plbl.astype(jnp.uint8), counts, P.IASState(new_thr, new_cmp)
+        # 5-bit pack before the fetch, as pseudo/generator.py does (the D2H
+        # of the label maps is the measured wall bottleneck on this link)
+        return pack_labels(plbl), counts, P.IASState(new_thr, new_cmp)
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.integers(0, 255, size=(batch_size, h, w, 3), dtype=np.uint8))
     state = P.IASState(jnp.full((19,), 0.9), jnp.zeros((19,)))
+    clock.mark("setup")
 
     plbl, counts, state = gen_step(variables, images, state)
     np.asarray(plbl)
+    clock.mark("compile_load")
     # production fetches the label maps every batch (PNG writing), pipelined
     # one batch deep exactly as pseudo/generator.py:_run_select_loop does:
-    # dispatch batch k+1, then fetch batch k — the D2H of the label maps
-    # (the measured bottleneck on the tunneled platform) overlaps compute.
-    # best-of-5 windows against transient tunnel slowdowns (the label-map
-    # D2H dominates here and the tunnel's bandwidth swings 15-50 MB/s).
+    # dispatch batch k+1, then fetch batch k — the (5-bit packed) D2H of
+    # the label maps, plus the host-side unpack production pays before the
+    # PNG encode, overlaps the next batch's compute.  best-of-5 windows
+    # against transient tunnel slowdowns (the label-map D2H dominates here
+    # and the tunnel's bandwidth swings 15-50 MB/s).
     best = float("inf")
     for _window in range(5):
         if best < float("inf") and _past(t_end):
@@ -269,10 +317,10 @@ def bench_pseudo_gen(batch_size: int = 8, iters: int = 10, deadline: float | Non
         for _ in range(iters):
             plbl, counts, state = gen_step(variables, images, state)
             if prev is not None:
-                np.asarray(prev[0])
+                unpack_labels(np.asarray(prev[0]), w)
                 np.asarray(prev[1])
             prev = (plbl, counts)
-        np.asarray(prev[0])
+        unpack_labels(np.asarray(prev[0]), w)
         np.asarray(prev[1])
         best = min(best, (time.time() - t0) / iters)
 
@@ -288,12 +336,14 @@ def bench_pseudo_gen(batch_size: int = 8, iters: int = 10, deadline: float | Non
             plbl, counts, state = gen_step(variables, images, state)
         _sync(counts)
         best_compute = min(best_compute, (time.time() - t0) / iters)
+    clock.mark("measure")
 
     flops, _hbm = _compiled_flops(gen_step, variables, images, state)
     peak = _chip_peak_flops()
     mfu = (flops / best / peak) if (flops and peak) else None
     mfu_compute = (flops / best_compute / peak) if (flops and peak) else None
-    return batch_size / best, best, mfu, batch_size / best_compute, mfu_compute
+    return (batch_size / best, best, mfu, batch_size / best_compute,
+            mfu_compute, clock.phases)
 
 
 def bench_eval(batch_size: int = 8, iters: int = 20, deadline: float | None = None):
@@ -302,6 +352,7 @@ def bench_eval(batch_size: int = 8, iters: int = 20, deadline: float | None = No
     ``batch_size`` plus batch-1 latency (the serving-relevant number).
     Past the deadline, the batch-1 phase is skipped (latency = None)."""
     t_end = _t_end(deadline)
+    clock = _PhaseClock()
     import jax
     import jax.numpy as jnp
 
@@ -332,6 +383,7 @@ def bench_eval(batch_size: int = 8, iters: int = 20, deadline: float | None = No
         imgs = jnp.asarray(rng.integers(0, 255, size=(bs, h, w, 3), dtype=np.uint8))
         out = fwd(variables["params"], variables["batch_stats"], imgs)
         _sync(out[0, 0, 0, 0])
+        clock.mark("compile_load")
         best = float("inf")
         for _ in range(3):
             if best < float("inf") and _past(t_end):
@@ -351,9 +403,12 @@ def bench_eval(batch_size: int = 8, iters: int = 20, deadline: float | None = No
             best = min(best, (time.time() - t0) / n)
         return best
 
+    clock.mark("setup")
     dt_batch = run(batch_size, iters, pipelined=True)
+    clock.mark("measure")
     dt_one = run(1, iters, pipelined=False) if not _past(t_end) else None
-    return batch_size / dt_batch, dt_batch, dt_one
+    clock.mark("measure")
+    return batch_size / dt_batch, dt_batch, dt_one, clock.phases
 
 
 def _echo_deadline_for_test(*args, **kwargs):
@@ -536,7 +591,7 @@ def _main_stages(budget):
 
     # 1. flagship: R101 consistency train step (mandatory — gets the most room)
     with _timed("train"):
-        train_ips, train_dt, train_mfu, train_hbm, train_bs = _run_in_subprocess(
+        train_ips, train_dt, train_mfu, train_hbm, train_bs, train_ph = _run_in_subprocess(
             "bench_train_step_auto", budget.remaining() - 60
         )
     _REPORT["train_ips"] = train_ips
@@ -545,6 +600,7 @@ def _main_stages(budget):
         train_s_per_iter=round(train_dt, 4),
         train_mfu=round(train_mfu, 4) if train_mfu else None,
         train_peak_hbm_gb=round(train_hbm, 2) if train_hbm else None,
+        train_phases_s=train_ph,
     )
 
     # An abandoned child (deadline+grace exceeded, left to finish rather
@@ -557,9 +613,15 @@ def _main_stages(budget):
     # 2. pseudo-label generation (mandatory #2; BASELINE.json speed metric).
     # Capped (see PSEUDO_GEN_BUDGET_FRACTION) so a degraded-tunnel D2H
     # cannot starve the two stretch stages of the whole remaining budget.
+    if budget.remaining() < 120:
+        # spawning a child with a seconds-scale deadline guarantees an
+        # ABANDONED orphan draining on the chip (measured round 5: an 11 s
+        # deadline after a 1159 s train stage) — skip cleanly instead
+        print("bench: budget exhausted — pseudo_gen skipped", file=sys.stderr)
+        return
     try:
         with _timed("pseudo_gen"):
-            pseudo_ips, pseudo_dt, pseudo_mfu, pseudo_cips, pseudo_cmfu = _run_in_subprocess(
+            pseudo_ips, pseudo_dt, pseudo_mfu, pseudo_cips, pseudo_cmfu, pseudo_ph = _run_in_subprocess(
                 "bench_pseudo_gen",
                 min(budget.remaining() - 30,
                     max(300.0, PSEUDO_GEN_BUDGET_FRACTION * budget.total)),
@@ -570,25 +632,56 @@ def _main_stages(budget):
             pseudo_gen_mfu=round(pseudo_mfu, 4) if pseudo_mfu else None,
             pseudo_gen_imgs_per_sec_compute=round(pseudo_cips, 2),
             pseudo_gen_mfu_compute=round(pseudo_cmfu, 4) if pseudo_cmfu else None,
+            pseudo_gen_phases_s=pseudo_ph,
         )
     except Exception as e:  # noqa: BLE001
         abandoned = "abandoned" in str(e)
         print(f"bench_pseudo_gen failed (metric omitted): {e}", file=sys.stderr)
 
     if abandoned:
-        d["skipped_after_abandoned_child"] = "segformer_b5, eval"
+        d["skipped_after_abandoned_child"] = "eval, segformer_b5"
         print("bench: child abandoned on-chip — stretch stages skipped to "
               "avoid measuring tunnel contention", file=sys.stderr)
         return
 
-    # 3. SegFormer MiT-B5 stretch (BASELINE.json): the transformer flagship
+    # 3. eval forward (stretch): runs BEFORE the B5 stretch — it is the
+    # cheap stage (one forward compile vs B5's 44 MB executable that costs
+    # 150-420 s just to LOAD through the tunnel), and B5 degrades gracefully
+    # when squeezed (its child returns best-so-far at the cooperative
+    # deadline) while eval's >120 s floor used to get starved outright
+    # (BENCH_r04 lost the eval metric exactly this way).
+    if budget.remaining() > 120:
+        try:
+            with _timed("eval"):
+                eval_ips, _eval_dt, eval_dt1, eval_ph = _run_in_subprocess(
+                    "bench_eval", budget.remaining() - 30
+                )
+            d.update(
+                eval_imgs_per_sec_768x1536=round(eval_ips, 2),
+                eval_batch1_latency_s=round(eval_dt1, 4) if eval_dt1 else None,
+                eval_phases_s=eval_ph,
+            )
+        except Exception as e:  # noqa: BLE001
+            abandoned = "abandoned" in str(e)
+            print(f"bench_eval failed (metric omitted): {e}", file=sys.stderr)
+    else:
+        print("bench: budget exhausted — eval stretch skipped", file=sys.stderr)
+
+    if abandoned:
+        d["skipped_after_abandoned_child"] = "segformer_b5"
+        print("bench: child abandoned on-chip — SegFormer stretch skipped to "
+              "avoid measuring tunnel contention", file=sys.stderr)
+        return
+
+    # 4. SegFormer MiT-B5 stretch (BASELINE.json): the transformer flagship
     # at production size; settings = the measured best of the round-4
-    # remat x fused ablation (PERF.md). Runs BEFORE the eval stretch: it is
-    # the more important number and the bigger compile.
+    # remat x fused ablation (PERF.md). Last because its child degrades
+    # gracefully under deadline pressure (best-so-far at the cooperative
+    # deadline) — unlike the eval floor above.
     if budget.remaining() > 180:
         try:
             with _timed("segformer_b5"):
-                sf_ips, sf_dt, sf_mfu, sf_hbm, sf_bs = _run_in_subprocess(
+                sf_ips, sf_dt, sf_mfu, sf_hbm, sf_bs, sf_ph = _run_in_subprocess(
                     "bench_train_step_auto", budget.remaining() - 30,
                     (8, 4, 2), 10, "SegFormer_B5", SEGFORMER_REMAT,
                     SEGFORMER_REMAT_MODE,
@@ -603,34 +696,12 @@ def _main_stages(budget):
                     f"remat={SEGFORMER_REMAT_MODE if SEGFORMER_REMAT else 'off'},"
                     f"fused_attention={SEGFORMER_FUSED_ATTENTION}"
                 ),
+                segformer_b5_phases_s=sf_ph,
             )
         except Exception as e:  # noqa: BLE001
-            abandoned = "abandoned" in str(e)
             print(f"bench SegFormer_B5 failed (metric omitted): {e}", file=sys.stderr)
     else:
         print("bench: budget exhausted — SegFormer stretch skipped", file=sys.stderr)
-
-    if abandoned:
-        d["skipped_after_abandoned_child"] = "eval"
-        print("bench: child abandoned on-chip — eval stretch skipped to "
-              "avoid measuring tunnel contention", file=sys.stderr)
-        return
-
-    # 4. eval forward (stretch): only with comfortable remaining budget
-    if budget.remaining() > 120:
-        try:
-            with _timed("eval"):
-                eval_ips, _eval_dt, eval_dt1 = _run_in_subprocess(
-                    "bench_eval", budget.remaining() - 30
-                )
-            d.update(
-                eval_imgs_per_sec_768x1536=round(eval_ips, 2),
-                eval_batch1_latency_s=round(eval_dt1, 4) if eval_dt1 else None,
-            )
-        except Exception as e:  # noqa: BLE001
-            print(f"bench_eval failed (metric omitted): {e}", file=sys.stderr)
-    else:
-        print("bench: budget exhausted — eval stretch skipped", file=sys.stderr)
 
 
 if __name__ == "__main__":
