@@ -49,7 +49,7 @@ def main():
     results = {}
     for label, remat, mode, batch, fused in VARIANTS:
         try:
-            ips, dt, mfu, hbm = run_one(remat, mode, batch, fused)
+            ips, dt, mfu, hbm, _phases = run_one(remat, mode, batch, fused)
             results[label] = {
                 "imgs_per_sec": round(ips, 2),
                 "s_per_iter": round(dt, 4),
