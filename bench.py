@@ -420,18 +420,39 @@ def _echo_deadline_for_test(*args, **kwargs):
 
 _CHILD = {"proc": None}
 
+# Grace beyond a child's cooperative deadline before the parent considers
+# it overrun: one program load + one measurement window.
+CHILD_GRACE_S = 120.0
 
-def _run_in_subprocess(fn_name: str, timeout: float, *args, **kwargs):
+
+def _sleep_echo_for_test(t_sleep, deadline=None):
+    """Test hook: a child that overruns its cooperative deadline by design
+    (sleeps ``t_sleep``), for exercising the parent's patient-wait path."""
+    import time as _time
+
+    _time.sleep(float(t_sleep))
+    return [float(t_sleep)], {"deadline": deadline}
+
+
+def _run_in_subprocess(fn_name: str, timeout: float, *args, budget=None, **kwargs):
     """Each benchmark in its own process: the train step's donated HBM
     buffers and jit cache otherwise degrade the pseudo-gen measurement.
 
     ``timeout`` is supplied by the caller from the REMAINING global budget
     (never a fixed per-stage constant — that is what lost round 3). It is
     forwarded to the child as a COOPERATIVE ``deadline=`` kwarg: the child
-    stops launching device programs past it and returns best-so-far.  The
-    parent-side kill only fires after a further grace window — killing a
-    client mid-device-program wedges the shared tunnel for many minutes
-    and poisons every later stage (see _past)."""
+    stops launching device programs past it and returns best-so-far.
+
+    A child that overruns deadline+grace is NOT killed (a mid-device-program
+    kill wedges the shared tunnel for many minutes) and, when ``budget``
+    still has room, NOT abandoned either: past its deadline the child stops
+    launching new windows and exits after its in-flight compile + one
+    window, so waiting is strictly better than abandoning — an abandoned
+    child drains ON the chip and forces every later stage to be skipped.
+    (Measured round 5: a cold-cache pseudo-gen compile on a degraded tunnel
+    overran its 420 s stage deadline with ~500 s of global budget left; the
+    old behavior abandoned it and lost the eval + B5 metrics.) Only when
+    the global budget is exhausted too does the parent abandon."""
     import subprocess
     import sys
 
@@ -456,18 +477,29 @@ def _run_in_subprocess(fn_name: str, timeout: float, *args, **kwargs):
     )
     _CHILD["proc"] = proc
     try:
-        # grace beyond the cooperative deadline: one program load + window
-        proc.wait(timeout=max(timeout, 1.0) + 120.0)
-    except subprocess.TimeoutExpired:
-        # Do NOT kill: SIGKILLing a client mid-device-program wedges the
-        # shared TPU tunnel for many minutes (measured, PERF.md) and poisons
-        # every later stage. The child's deadline has passed, so it will
-        # stop after its in-flight program + one window and exit by itself.
-        raise RuntimeError(
-            f"{fn_name} exceeded deadline+grace ({timeout:.0f}+120s) — "
-            f"abandoned to finish in background (pid {proc.pid}); "
-            "not killed: a mid-program kill wedges the TPU tunnel"
-        )
+        try:
+            proc.wait(timeout=max(timeout, 1.0) + CHILD_GRACE_S)
+        except subprocess.TimeoutExpired:
+            # Overrun. Do NOT kill (tunnel wedge); wait patiently while the
+            # global budget allows — the cooperative child is guaranteed to
+            # exit shortly (see docstring). 60 s reserve keeps enough room
+            # to emit the JSON line and skip later stages cleanly.
+            overran = True
+            while budget is not None and budget.remaining() > 60.0:
+                try:
+                    proc.wait(timeout=max(0.1, min(15.0, budget.remaining() - 45.0)))
+                    overran = False
+                    break
+                except subprocess.TimeoutExpired:
+                    continue
+            if overran:
+                raise RuntimeError(
+                    f"{fn_name} exceeded deadline+grace "
+                    f"({timeout:.0f}+{CHILD_GRACE_S:.0f}s) and the global "
+                    f"budget — abandoned to finish in background "
+                    f"(pid {proc.pid}); not killed: a mid-program kill "
+                    "wedges the TPU tunnel"
+                )
     finally:
         _CHILD["proc"] = None
     out_f.seek(0)
@@ -592,7 +624,7 @@ def _main_stages(budget):
     # 1. flagship: R101 consistency train step (mandatory — gets the most room)
     with _timed("train"):
         train_ips, train_dt, train_mfu, train_hbm, train_bs, train_ph = _run_in_subprocess(
-            "bench_train_step_auto", budget.remaining() - 60
+            "bench_train_step_auto", budget.remaining() - 60, budget=budget
         )
     _REPORT["train_ips"] = train_ips
     d.update(
@@ -603,21 +635,60 @@ def _main_stages(budget):
         train_phases_s=train_ph,
     )
 
-    # An abandoned child (deadline+grace exceeded, left to finish rather
-    # than killed — a mid-program kill wedges the tunnel) keeps running ON
-    # the chip: every later stage would contend with it and record
-    # contamination, not capability (measured: pseudo-gen 27.2 -> 16.1
-    # imgs/s while an abandoned B5 child drained, round 4). Skip the rest.
+    # An abandoned child (deadline+grace+budget exceeded, left to finish
+    # rather than killed — a mid-program kill wedges the tunnel) keeps
+    # running ON the chip: every later stage would contend with it and
+    # record contamination, not capability (measured: pseudo-gen
+    # 27.2 -> 16.1 imgs/s while an abandoned B5 child drained, round 4).
+    # Skip the rest.
     abandoned = False
 
-    # 2. pseudo-label generation (mandatory #2; BASELINE.json speed metric).
+    # Stage order after train is greedy-by-cost so a degraded tunnel loses
+    # the FEWEST metrics: eval's executable is the cheapest to load (one
+    # R101 forward), pseudo-gen is capped, and the B5 stretch — a 44 MB
+    # executable costing 150-420 s to LOAD on a good day — goes last
+    # because its child degrades gracefully (best-so-far at its cooperative
+    # deadline). Round-5 measurement forced this ordering: with pseudo-gen
+    # second, one degraded-tunnel morning put 640-900 s into the pseudo
+    # child's compile_load phase ALONE (compute rate was a healthy 61.7
+    # imgs/s) and the cheap eval metric never ran.
+
+    # 2. eval forward (BASELINE.json eval metric; capped so a degraded
+    # tunnel cannot starve the pseudo-gen mandatory metric behind it).
+    if budget.remaining() > 120:
+        try:
+            with _timed("eval"):
+                eval_ips, _eval_dt, eval_dt1, eval_ph = _run_in_subprocess(
+                    "bench_eval",
+                    min(budget.remaining() - 30, max(240.0, 0.2 * budget.total)),
+                    budget=budget,
+                )
+            d.update(
+                eval_imgs_per_sec_768x1536=round(eval_ips, 2),
+                eval_batch1_latency_s=round(eval_dt1, 4) if eval_dt1 else None,
+                eval_phases_s=eval_ph,
+            )
+        except Exception as e:  # noqa: BLE001
+            abandoned = "abandoned" in str(e)
+            print(f"bench_eval failed (metric omitted): {e}", file=sys.stderr)
+    else:
+        print("bench: budget exhausted — eval skipped", file=sys.stderr)
+
+    if abandoned:
+        d["skipped_after_abandoned_child"] = "pseudo_gen, segformer_b5"
+        print("bench: child abandoned on-chip — later stages skipped to "
+              "avoid measuring tunnel contention", file=sys.stderr)
+        return
+
+    # 3. pseudo-label generation (mandatory #2; BASELINE.json speed metric).
     # Capped (see PSEUDO_GEN_BUDGET_FRACTION) so a degraded-tunnel D2H
-    # cannot starve the two stretch stages of the whole remaining budget.
+    # cannot starve the B5 stretch of the whole remaining budget.
     if budget.remaining() < 120:
         # spawning a child with a seconds-scale deadline guarantees an
         # ABANDONED orphan draining on the chip (measured round 5: an 11 s
         # deadline after a 1159 s train stage) — skip cleanly instead
-        print("bench: budget exhausted — pseudo_gen skipped", file=sys.stderr)
+        print("bench: budget exhausted — pseudo_gen + segformer_b5 skipped",
+              file=sys.stderr)
         return
     try:
         with _timed("pseudo_gen"):
@@ -625,6 +696,7 @@ def _main_stages(budget):
                 "bench_pseudo_gen",
                 min(budget.remaining() - 30,
                     max(300.0, PSEUDO_GEN_BUDGET_FRACTION * budget.total)),
+                budget=budget,
             )
         d.update(
             pseudo_gen_imgs_per_sec=round(pseudo_ips, 2),
@@ -639,35 +711,6 @@ def _main_stages(budget):
         print(f"bench_pseudo_gen failed (metric omitted): {e}", file=sys.stderr)
 
     if abandoned:
-        d["skipped_after_abandoned_child"] = "eval, segformer_b5"
-        print("bench: child abandoned on-chip — stretch stages skipped to "
-              "avoid measuring tunnel contention", file=sys.stderr)
-        return
-
-    # 3. eval forward (stretch): runs BEFORE the B5 stretch — it is the
-    # cheap stage (one forward compile vs B5's 44 MB executable that costs
-    # 150-420 s just to LOAD through the tunnel), and B5 degrades gracefully
-    # when squeezed (its child returns best-so-far at the cooperative
-    # deadline) while eval's >120 s floor used to get starved outright
-    # (BENCH_r04 lost the eval metric exactly this way).
-    if budget.remaining() > 120:
-        try:
-            with _timed("eval"):
-                eval_ips, _eval_dt, eval_dt1, eval_ph = _run_in_subprocess(
-                    "bench_eval", budget.remaining() - 30
-                )
-            d.update(
-                eval_imgs_per_sec_768x1536=round(eval_ips, 2),
-                eval_batch1_latency_s=round(eval_dt1, 4) if eval_dt1 else None,
-                eval_phases_s=eval_ph,
-            )
-        except Exception as e:  # noqa: BLE001
-            abandoned = "abandoned" in str(e)
-            print(f"bench_eval failed (metric omitted): {e}", file=sys.stderr)
-    else:
-        print("bench: budget exhausted — eval stretch skipped", file=sys.stderr)
-
-    if abandoned:
         d["skipped_after_abandoned_child"] = "segformer_b5"
         print("bench: child abandoned on-chip — SegFormer stretch skipped to "
               "avoid measuring tunnel contention", file=sys.stderr)
@@ -675,9 +718,9 @@ def _main_stages(budget):
 
     # 4. SegFormer MiT-B5 stretch (BASELINE.json): the transformer flagship
     # at production size; settings = the measured best of the round-4
-    # remat x fused ablation (PERF.md). Last because its child degrades
-    # gracefully under deadline pressure (best-so-far at the cooperative
-    # deadline) — unlike the eval floor above.
+    # remat x fused ablation (PERF.md). Last: costliest executable to load
+    # AND the child degrades gracefully under deadline pressure
+    # (best-so-far at the cooperative deadline).
     if budget.remaining() > 180:
         try:
             with _timed("segformer_b5"):
@@ -686,6 +729,7 @@ def _main_stages(budget):
                     (8, 4, 2), 10, "SegFormer_B5", SEGFORMER_REMAT,
                     SEGFORMER_REMAT_MODE,
                     fused_attention=SEGFORMER_FUSED_ATTENTION,
+                    budget=budget,
                 )
             d.update(
                 segformer_b5_imgs_per_sec=round(sf_ips, 2),

@@ -131,20 +131,26 @@ def test_pseudo_gen_stage_deadline_is_capped(monkeypatch):
         by_name.setdefault(name, timeout)
     cap = max(300.0, bench.PSEUDO_GEN_BUDGET_FRACTION * 1200.0)
     assert by_name["bench_pseudo_gen"] <= cap
+    # eval is capped too — a degraded-tunnel eval must not starve the
+    # mandatory pseudo-gen metric behind it
+    assert by_name["bench_eval"] <= max(240.0, 0.2 * 1200.0)
     # train (the headline) keeps the uncapped remaining-budget deadline
     assert by_name["bench_train_step_auto"] > cap
-    # all four stages ran — eval BEFORE the B5 stretch (BENCH_r04 lost the
-    # eval metric when it ran last behind the expensive-to-load B5 stage)
+    # all four stages ran, greedy-by-cost after train: eval (cheapest
+    # executable) first, capped pseudo-gen, then the B5 stretch (44 MB
+    # executable, 150-420 s load) last — round 5 measured a degraded
+    # tunnel putting 640-900 s into the pseudo child's compile_load alone,
+    # which lost the eval metric under the old eval-after-pseudo order
     assert [c[0] for c in calls] == [
-        "bench_train_step_auto", "bench_pseudo_gen",
-        "bench_eval", "bench_train_step_auto",
+        "bench_train_step_auto", "bench_eval",
+        "bench_pseudo_gen", "bench_train_step_auto",
     ]
 
 
 @pytest.mark.parametrize("fail_at,expect_ran", [
-    ("bench_pseudo_gen", ["bench_train_step_auto", "bench_pseudo_gen"]),
-    ("bench_eval", ["bench_train_step_auto", "bench_pseudo_gen",
-                    "bench_eval"]),
+    ("bench_eval", ["bench_train_step_auto", "bench_eval"]),
+    ("bench_pseudo_gen", ["bench_train_step_auto", "bench_eval",
+                          "bench_pseudo_gen"]),
 ])
 def test_abandoned_child_skips_later_stages(monkeypatch, fail_at, expect_ran):
     """An abandoned child keeps running ON the chip; later stages would
@@ -184,10 +190,36 @@ def test_ordinary_stage_failure_does_not_skip_later_stages(monkeypatch):
     monkeypatch.setattr(bench, "_run_in_subprocess", fake)
     bench._main_stages(bench._Budget(1200.0))
     assert calls == [
-        "bench_train_step_auto", "bench_pseudo_gen",
-        "bench_eval", "bench_train_step_auto",
+        "bench_train_step_auto", "bench_eval",
+        "bench_pseudo_gen", "bench_train_step_auto",
     ]
     assert "skipped_after_abandoned_child" not in bench._REPORT["details"]
+
+
+def test_overrun_child_waited_out_while_budget_remains(monkeypatch):
+    """A child that overruns deadline+grace is WAITED OUT, not abandoned,
+    while the global budget still has room: the cooperative child exits by
+    itself shortly, and abandoning it would cost every later stage (round 5:
+    a cold-cache pseudo-gen compile overran its stage deadline with ~500 s
+    of budget left and lost the eval + B5 metrics)."""
+    monkeypatch.setattr(bench, "CHILD_GRACE_S", 0.2)
+    r = bench._run_in_subprocess(
+        "_sleep_echo_for_test", 0.1, 3.0, budget=bench._Budget(120.0)
+    )
+    args, _kwargs = r
+    assert args == [3.0]
+
+
+def test_overrun_child_abandoned_when_budget_exhausted(monkeypatch):
+    """With no global budget room left (or no budget handle at all), the
+    overrun child is abandoned as before — never killed."""
+    monkeypatch.setattr(bench, "CHILD_GRACE_S", 0.2)
+    with pytest.raises(RuntimeError, match="abandoned"):
+        bench._run_in_subprocess(
+            "_sleep_echo_for_test", 0.1, 8.0, budget=bench._Budget(30.0)
+        )
+    with pytest.raises(RuntimeError, match="abandoned"):
+        bench._run_in_subprocess("_sleep_echo_for_test", 0.1, 8.0)
 
 
 def test_subprocess_forwards_cooperative_deadline():
