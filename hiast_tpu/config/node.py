@@ -113,10 +113,29 @@ class ConfigNode:
         return f"ConfigNode({self.to_dict()!r})"
 
 
+# Keys whose default is a scalar bool but which ALSO accept a homogeneous
+# list of bools. The generic tree stays schema-agnostic: schema.py registers
+# its polymorphic keys here (currently only the per-stage fused-attention
+# mix, ``runtime.fused_attention: [true, true, true, false]``).
+BOOL_OR_BOOL_LIST_KEYS: set = set()
+
+
 def _coerce(current: Any, value: Any, path: str) -> Any:
     """Coerce ``value`` to be type-compatible with the default ``current``."""
     if current is None or value is None:
         return value
+    if path in BOOL_OR_BOOL_LIST_KEYS:
+        # accept bool or list-of-bool in EITHER direction (a later overlay
+        # may set a plain bool over an earlier per-stage list, or vice versa)
+        if isinstance(value, bool):
+            return value
+        if isinstance(value, (list, tuple)) and all(
+            isinstance(v, bool) for v in value
+        ):
+            return list(value)
+        raise TypeError(
+            f"{path!r}: expected bool or a list of bools, got {value!r}"
+        )
     if isinstance(current, bool):
         if isinstance(value, bool):
             return value

@@ -7,7 +7,12 @@ the reference's GPU-process fields (``gpu_num``, ``port``, ``apex_opt``).
 """
 from __future__ import annotations
 
-from hiast_tpu.config.node import ConfigNode
+from hiast_tpu.config.node import BOOL_OR_BOOL_LIST_KEYS, ConfigNode
+
+# runtime.fused_attention accepts one bool OR a 4-list of per-stage flags
+# (see the schema comment at the key); register it so YAML overlays and
+# CLI overrides can set either form.
+BOOL_OR_BOOL_LIST_KEYS.add("runtime.fused_attention")
 
 
 def default_config() -> ConfigNode:

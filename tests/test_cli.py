@@ -137,7 +137,9 @@ def test_micro_round_through_clis_segformer(fixture_root, tmp_path):
         "model.seg_model.type", "SegFormer_B0",
         "runtime.remat", "True",
         "runtime.remat_mode", "blocks",
-        "runtime.fused_attention", "True",
+        # per-stage fused/einsum mix through the REAL CLI override surface
+        # (string -> literal -> polymorphic bool-or-list coercion -> builder)
+        "runtime.fused_attention", "[True, True, True, False]",
     ]
     cfg_file, setting_file = write_round_config(tmp_path, fixture_root)
     work_dir = tmp_path / "log" / "sl_1"

@@ -150,3 +150,52 @@ class TestMultiHostInit:
 
         with pytest.raises(RuntimeError, match="coordinator"):
             runtime_init.init_distributed(initialize=boom)
+
+
+class TestFusedAttentionPolymorphicKey:
+    """runtime.fused_attention accepts a bool OR a 4-list of per-stage
+    flags through EVERY config surface (YAML merge, CLI override) — the
+    per-stage mix was reachable only programmatically before round 5."""
+
+    def test_yaml_merge_accepts_per_stage_list(self):
+        from hiast_tpu.config import default_config
+
+        cfg = default_config()
+        cfg.merge_from_dict({"runtime": {"fused_attention": [True, True, True, False]}})
+        assert cfg.runtime.fused_attention == [True, True, True, False]
+
+    def test_cli_override_accepts_per_stage_list(self):
+        from hiast_tpu.config import default_config
+
+        cfg = default_config()
+        cfg.merge_from_list(["runtime.fused_attention", "[True, True, True, False]"])
+        assert cfg.runtime.fused_attention == [True, True, True, False]
+
+    def test_plain_bool_still_works_and_overrides_a_list(self):
+        from hiast_tpu.config import default_config
+
+        cfg = default_config()
+        cfg.merge_from_dict({"runtime": {"fused_attention": [True, True, True, False]}})
+        # a later overlay may flip back to a plain bool (3-level layering)
+        cfg.merge_from_dict({"runtime": {"fused_attention": True}})
+        assert cfg.runtime.fused_attention is True
+
+    def test_non_bool_list_rejected(self):
+        from hiast_tpu.config import default_config
+
+        cfg = default_config()
+        with pytest.raises(TypeError, match="bool"):
+            cfg.merge_from_dict({"runtime": {"fused_attention": [1, 0, 1, 0]}})
+
+    def test_list_builds_a_per_stage_model(self):
+        """The list survives to the model builder and sets per-stage flags."""
+        import jax.numpy as jnp
+
+        from hiast_tpu.config import default_config
+        from hiast_tpu.models.deeplab_v2 import build_seg_model
+
+        cfg = default_config()
+        cfg.model.seg_model.type = "SegFormer_B0"
+        cfg.merge_from_dict({"runtime": {"fused_attention": [True, True, True, False]}})
+        model = build_seg_model(cfg, dtype=jnp.float32)
+        assert model.fused_attention == (True, True, True, False)
